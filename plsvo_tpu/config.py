@@ -1,0 +1,155 @@
+"""Typed config tree for the whole framework.
+
+Replaces the reference's `Config` singleton of ~40 global parameters
+(reference: include/plsvo/config.h:42-176, defaults src/config.cpp:82-126)
+with one frozen dataclass passed explicitly — no singletons, jit-safe
+(every field that shapes arrays is a static Python int).
+
+Extra fields (capacities, batch sizes, mesh axes) configure the TPU-side
+fixed-capacity tables and distributed runs; these have no reference
+analogue because the reference uses dynamically sized lists and a single
+process (SURVEY §2.3, §7.0).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Tracking-pipeline parameters; names follow src/config.cpp:82-126."""
+
+    # feature classes on/off (reference: has_pt/has_ls, frame_handler_mono.cpp:101-125)
+    has_pt: bool = True
+    has_ls: bool = True
+    init_pt: bool = True
+    init_ls: bool = True
+
+    # pyramid
+    n_pyr_levels: int = 3
+    n_pyr_levels_segs: int = 1
+
+    # map / keyframes
+    core_n_kfs: int = 5
+    map_scale: float = 1.0
+    max_n_kfs: int = 0  # 0 = unlimited (bounded by capacity MAX_KFS)
+    kfselect_mindist_t: float = 0.06
+    kfselect_mindist_r: float = 3.0  # degrees
+
+    # detection grids
+    grid_size: int = 25
+    grid_size_segs: int = 25
+    triang_min_corner_score: float = 20.0
+    lsd_min_length: float = 0.15  # fraction of min(W,H) (feature_detection.cpp:154)
+
+    # initialization (C6)
+    init_min_disparity: float = 40.0
+    init_min_tracked: int = 40
+    init_min_inliers: int = 30
+
+    # sparse image alignment (C7)
+    klt_max_level: int = 4
+    klt_min_level: int = 2
+    img_align_n_iter: int = 30
+    img_align_patch_size: int = 4
+
+    # subpixel feature alignment (C8)
+    subpix_n_iter: int = 10
+    triang_half_patch_size: int = 4
+
+    # pose optimizer (C13)
+    poseoptim_thresh: float = 2.0
+    poseoptim_num_iter: int = 10
+    poseoptim_num_iter_ref: int = 3
+    has_refinement: bool = True
+
+    # structure optimizer
+    structureoptim_max_pts: int = 20
+    structureoptim_num_iter: int = 5
+    structureoptim_max_segs: int = 20
+    structureoptim_num_iter_segs: int = 5
+
+    # reprojection / quality (C10, C14)
+    reproj_thresh: float = 2.0
+    quality_min_fts: int = 20
+    quality_max_drop_fts: int = 50
+    quality_min_fts_segs: int = 20
+    quality_max_drop_fts_segs: int = 50
+    max_fts: int = 100
+    max_fts_segs: int = 100
+
+    # depth filter (C12)
+    seed_convergence_sigma2_thresh: float = 200.0  # depth_filter.cpp:332
+    max_seed_kfs: int = 3  # age-out batches (depth_filter.cpp:289)
+
+    # epipolar search (C9)
+    epi_max_steps: int = 256  # fixed budget (ref caps at 1000, matcher.cpp:351)
+    epi_step_px: float = 0.7
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Fixed table capacities for the SoA state (SURVEY §7.0). All shapes
+    downstream derive from these; they are static under jit."""
+
+    max_fts: int = 192  # point-feature rows per frame
+    max_segs: int = 96  # line-feature rows per frame
+    max_kfs: int = 16  # keyframe ring size
+    max_points: int = 4096  # 3D point landmarks in the map
+    max_lines: int = 1024  # 3D line-segment landmarks
+    max_seeds: int = 512  # depth-filter point seeds
+    max_seed_segs: int = 256  # depth-filter line seeds
+    n_line_samples: int = 8  # fixed patch samples per segment (vs dynamic
+    # setupSampling, src/feature.cpp:160-173)
+    max_klt_fts: int = 512  # bootstrap KLT tracks
+    max_obs_per_landmark: int = 8  # observation slots per landmark (BA)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh axes for batched VO and distributed BA (new capability,
+    BASELINE.json configs 4-5; no reference analogue)."""
+
+    data_axis: str = "seq"  # batched sequences axis
+    ba_axis: str = "ba"  # landmark-block sharding axis for Schur BA
+    n_seq_shards: int = 1
+    n_ba_shards: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    caps: CapacityConfig = field(default_factory=CapacityConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        return cls(
+            pipeline=PipelineConfig(**d.get("pipeline", {})),
+            caps=CapacityConfig(**d.get("caps", {})),
+            mesh=MeshConfig(**d.get("mesh", {})),
+        )
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def fast_config() -> Config:
+    """Smaller capacities for tests / CPU runs."""
+    return Config(
+        caps=CapacityConfig(
+            max_fts=128, max_segs=32, max_kfs=8, max_points=1024,
+            max_lines=256, max_seeds=256, max_seed_segs=64,
+            n_line_samples=4, max_klt_fts=256,
+        )
+    )

@@ -1,0 +1,151 @@
+"""Image pyramid + sampling primitives.
+
+TPU-native replacement for vk::halfSample / vk::interpolateMat_8u /
+vk::shiTomasiScore and the reference pyramid construction
+(reference: src/frame.cpp:171-180 createImgPyramid; SURVEY §2.2).
+
+Conventions: images are (H, W) float32 arrays in [0, 255] (the reference
+works on 8-bit grayscale; keeping the 0..255 range preserves all its
+intensity thresholds, e.g. the segment drop threshold 200 in
+src/sparse_img_align.cpp:668). Pixel coordinate (u, v) = (x, y) = (col, row);
+integer coordinates refer to pixel centers, matching the reference's
+`img.at<u8>(v, u)` addressing.
+
+All sampling functions broadcast over leading batch dims: one call gathers
+every patch of every feature — that is the whole point of the TPU design
+(SoA + batched gathers instead of the reference's per-feature loops).
+"""
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+
+def half_sample(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box-filter downsample (vk::halfSample analogue, src/frame.cpp:178).
+
+    Odd trailing rows/cols are dropped, as in vikit."""
+    H, W = img.shape[-2], img.shape[-1]
+    h2, w2 = H // 2, W // 2
+    x = img[..., : h2 * 2, : w2 * 2]
+    x = x.reshape(x.shape[:-2] + (h2, 2, w2, 2))
+    return x.mean(axis=(-3, -1))
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int) -> List[jnp.ndarray]:
+    """List of n_levels images, level 0 = full resolution
+    (reference: frame_utils::createImgPyramid, src/frame.cpp:171-180)."""
+    pyr = [img.astype(jnp.float32)]
+    for _ in range(1, n_levels):
+        pyr.append(half_sample(pyr[-1]))
+    return pyr
+
+
+def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray, *, oob_value: float = 0.0):
+    """Bilinear interpolation at subpixel coords (vk::interpolateMat_8u
+    analogue, used e.g. at src/matcher.cpp:126).
+
+    img: (H, W); uv: (..., 2) as (u=x, v=y). Returns (values, valid_mask)
+    where valid marks samples whose full 2x2 support is inside the image.
+    """
+    H, W = img.shape
+    u = uv[..., 0]
+    v = uv[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    valid = (u0i >= 0) & (v0i >= 0) & (u0i + 1 <= W - 1) & (v0i + 1 <= H - 1)
+    u0c = jnp.clip(u0i, 0, W - 1)
+    v0c = jnp.clip(v0i, 0, H - 1)
+    u1c = jnp.clip(u0i + 1, 0, W - 1)
+    v1c = jnp.clip(v0i + 1, 0, H - 1)
+    i00 = img[v0c, u0c]
+    i01 = img[v0c, u1c]
+    i10 = img[v1c, u0c]
+    i11 = img[v1c, u1c]
+    w00 = (1.0 - fu) * (1.0 - fv)
+    w01 = fu * (1.0 - fv)
+    w10 = (1.0 - fu) * fv
+    w11 = fu * fv
+    val = w00 * i00 + w01 * i01 + w10 * i10 + w11 * i11
+    return jnp.where(valid, val, oob_value), valid
+
+
+def patch_offsets(patch_size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(patch_size**2, 2) offsets centered on the patch: the reference uses
+    top-left-anchored loops with halfpatch offset (src/sparse_img_align.cpp:224);
+    here offsets run [-half, half) so a patch center is the feature position."""
+    half = patch_size / 2.0
+    r = jnp.arange(patch_size, dtype=dtype) - half + 0.5
+    # offset of pixel centers relative to feature position, (x, y) order
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    return jnp.stack([ox.ravel(), oy.ravel()], axis=-1)
+
+
+def extract_patches(img: jnp.ndarray, centers: jnp.ndarray, patch_size: int):
+    """Gather (N, patch_size**2) patches at subpixel centers (N, 2).
+
+    Returns (patches, valid) where valid is (N,) true iff every pixel of the
+    patch had full bilinear support."""
+    offs = patch_offsets(patch_size, centers.dtype)  # (P,2)
+    coords = centers[..., None, :] + offs  # (..., P, 2)
+    vals, ok = bilinear_sample(img, coords)
+    return vals, jnp.all(ok, axis=-1)
+
+
+def gradient(img: jnp.ndarray):
+    """Central-difference gradients (dx, dy), each (H, W).
+
+    Matches the 0.5*(I[x+1]-I[x-1]) stencil the reference uses for patch
+    Jacobians (src/sparse_img_align.cpp:246-249)."""
+    dx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    dy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    # zero out the wrap-around borders
+    dx = dx.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    dy = dy.at[0, :].set(0.0).at[-1, :].set(0.0)
+    return dx, dy
+
+
+def shi_tomasi_score(img: jnp.ndarray, halfbox: int = 4) -> jnp.ndarray:
+    """Dense Shi-Tomasi (min eigenvalue of structure tensor) response map.
+
+    vk::shiTomasiScore analogue (used per-corner at
+    src/feature_detection.cpp:91); computed densely here — one fused map
+    beats per-corner gathers on TPU. Box window of (2*halfbox)^2 pixels,
+    same normalization as vikit (score = min-eig / (2*N))."""
+    dx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    dy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    dxx = dx * dx
+    dyy = dy * dy
+    dxy = dx * dy
+
+    def box(x):
+        k = 2 * halfbox
+        # separable box sum via cumsum trick
+        cs = jnp.cumsum(x, axis=0)
+        cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)
+        xs = cs[k:, :] - cs[:-k, :]
+        c = jnp.cumsum(xs, axis=1)
+        c = jnp.concatenate([jnp.zeros_like(c[:, :1]), c], axis=1)
+        out = c[:, k:] - c[:, :-k]
+        # pad back to (H, W), centered
+        ph0 = halfbox
+        ph1 = x.shape[0] - out.shape[0] - ph0
+        pw0 = halfbox
+        pw1 = x.shape[1] - out.shape[1] - pw0
+        return jnp.pad(out, ((ph0, ph1), (pw0, pw1)))
+
+    sxx = box(dxx)
+    syy = box(dyy)
+    sxy = box(dxy)
+    n = (2.0 * halfbox) ** 2
+    tr = sxx + syy
+    det = sxx * syy - sxy * sxy
+    disc = jnp.sqrt(jnp.maximum(tr * tr * 0.25 - det, 0.0))
+    min_eig = 0.5 * tr - disc
+    return min_eig / (2.0 * n)

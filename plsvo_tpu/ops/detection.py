@@ -1,0 +1,179 @@
+"""Grid-bucketed FAST-10 corner detection, fully vectorized.
+
+TPU-native rebuild of the reference detector stack
+(reference: src/feature_detection.cpp:53-104 — libfast FAST-10 +
+vk::shiTomasiScore + fast_nonmax_3x3 + best-corner-per-grid-cell):
+
+- FAST-10 is computed densely for the whole level with 16 `roll`-shifted
+  images and boolean ring logic (VPU-friendly; no per-pixel branching).
+- The ranking score is the dense Shi-Tomasi response (the reference ranks
+  candidate corners per cell by Shi-Tomasi, feature_detection.cpp:88-99).
+- 3x3 non-max suppression on the masked score map.
+- Grid bucketing = segment-max over cell ids: every pyramid level competes
+  in the same level-0 grid, best corner per cell wins
+  (feature_detection.cpp:92-99).
+
+Output is a fixed-capacity per-cell table (SURVEY §7.0 SoA design) —
+no dynamic feature lists.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from plsvo_tpu.image import shi_tomasi_score
+
+# FAST ring of radius 3, circular order (same ring as libfast's FAST-10).
+_FAST_RING = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+
+
+class CornerGrid(NamedTuple):
+    """Per-grid-cell winning corner. All arrays have leading dim n_cells."""
+
+    uv: jnp.ndarray  # (C, 2) float32, level-0 pixel coords
+    level: jnp.ndarray  # (C,) int32 pyramid level of detection
+    score: jnp.ndarray  # (C,) float32 Shi-Tomasi score
+    valid: jnp.ndarray  # (C,) bool
+
+
+@jax.jit
+def fast_corner_mask(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Dense FAST-10 corner mask (H, W) bool.
+
+    A pixel is a corner if >=10 contiguous ring pixels are all brighter
+    than center+threshold or all darker than center-threshold
+    (reference semantics: fast::fast_corner_detect_10,
+    src/feature_detection.cpp:63-82)."""
+    ring = [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dx, dy in _FAST_RING]
+    ring = jnp.stack(ring, axis=0)  # (16, H, W)
+    bright = ring > img[None] + threshold
+    dark = ring < img[None] - threshold
+
+    def has_run10(m):
+        acc = jnp.zeros_like(m[0])
+        for i in range(16):
+            run = m[i]
+            for k in range(1, 10):
+                run = run & m[(i + k) % 16]
+            acc = acc | run
+        return acc
+
+    corner = has_run10(bright) | has_run10(dark)
+    # invalidate the 3-pixel border where the ring wraps around
+    H, W = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inner = (yy >= 3) & (yy < H - 3) & (xx >= 3) & (xx < W - 3)
+    return corner & inner
+
+
+def _nonmax_3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """True where score is the strict max of its 3x3 neighbourhood
+    (fast::fast_nonmax_3x3 analogue)."""
+    neigh = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            neigh.append(jnp.roll(score, (-dy, -dx), axis=(0, 1)))
+    nmax = jnp.max(jnp.stack(neigh, axis=0), axis=0)
+    return score >= nmax
+
+
+def grid_cells(width: int, height: int, cell_size: int):
+    nx = -(-width // cell_size)
+    ny = -(-height // cell_size)
+    return nx, ny, nx * ny
+
+
+@partial(jax.jit, static_argnames=("cell_size",))
+def detect_fast_grid(
+    pyramid: Sequence[jnp.ndarray],
+    *,
+    cell_size: int = 25,
+    fast_threshold: float = 10.0,
+    score_threshold: float = 20.0,
+    occupied: jnp.ndarray | None = None,
+) -> CornerGrid:
+    """Detect the best corner per grid cell across all pyramid levels.
+
+    occupied: optional (C,) bool — cells already holding a feature are
+    skipped (reference: setGridOccpuancy before detect,
+    src/feature_detection.cpp:238-252 / depth_filter.cpp:151-197)."""
+    H, W = pyramid[0].shape
+    nx, ny, n_cells = grid_cells(W, H, cell_size)
+
+    best_score = jnp.full((n_cells,), -jnp.inf, jnp.float32)
+    best_u = jnp.zeros((n_cells,), jnp.float32)
+    best_v = jnp.zeros((n_cells,), jnp.float32)
+    best_level = jnp.zeros((n_cells,), jnp.int32)
+
+    for level, img in enumerate(pyramid):
+        h, w = img.shape
+        scale = float(1 << level)
+        corner = fast_corner_mask(img, fast_threshold)
+        score = shi_tomasi_score(img)
+        masked = jnp.where(corner, score, -jnp.inf)
+        keep = _nonmax_3x3(masked) & corner & (score > score_threshold)
+        flat_score = jnp.where(keep, score, -jnp.inf).ravel()
+
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        # level-0 coordinates of this level's pixel centers
+        u0 = (xx.astype(jnp.float32)) * scale
+        v0 = (yy.astype(jnp.float32)) * scale
+        cell = (
+            jnp.clip((v0 / cell_size).astype(jnp.int32), 0, ny - 1) * nx
+            + jnp.clip((u0 / cell_size).astype(jnp.int32), 0, nx - 1)
+        ).ravel()
+
+        cell_max = jax.ops.segment_max(
+            flat_score, cell, num_segments=n_cells, indices_are_sorted=False
+        )
+        # winner index per cell: smallest flat index achieving the max
+        pix_idx = jnp.arange(h * w, dtype=jnp.int32)
+        is_winner = (flat_score == cell_max[cell]) & jnp.isfinite(flat_score)
+        win_idx = jax.ops.segment_min(
+            jnp.where(is_winner, pix_idx, jnp.iinfo(jnp.int32).max),
+            cell,
+            num_segments=n_cells,
+        )
+        has = win_idx < jnp.iinfo(jnp.int32).max
+        wi = jnp.where(has, win_idx, 0)
+        u0w = u0.ravel()[wi]
+        v0w = v0.ravel()[wi]
+        better = has & (cell_max > best_score)
+        best_u = jnp.where(better, u0w, best_u)
+        best_v = jnp.where(better, v0w, best_v)
+        best_level = jnp.where(better, level, best_level)
+        best_score = jnp.where(better, cell_max, best_score)
+
+    valid = jnp.isfinite(best_score) & (best_score > score_threshold)
+    if occupied is not None:
+        valid = valid & ~occupied
+    return CornerGrid(
+        uv=jnp.stack([best_u, best_v], axis=-1),
+        level=best_level,
+        score=jnp.where(valid, best_score, 0.0),
+        valid=valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cell_size"))
+def occupancy_from_positions(
+    uv: jnp.ndarray, valid: jnp.ndarray, width: int, height: int, cell_size: int
+) -> jnp.ndarray:
+    """Mark grid cells containing existing features (level-0 coords)."""
+    nx, ny, n_cells = grid_cells(width, height, cell_size)
+    cell = (
+        jnp.clip((uv[..., 1] / cell_size).astype(jnp.int32), 0, ny - 1) * nx
+        + jnp.clip((uv[..., 0] / cell_size).astype(jnp.int32), 0, nx - 1)
+    )
+    occ = jnp.zeros((n_cells,), bool)
+    return occ.at[jnp.where(valid, cell, 0)].max(valid)

@@ -1,0 +1,153 @@
+"""Synthetic textured-plane scenes with exact ground truth.
+
+The reference validates only end-to-end on recorded datasets
+(SURVEY §4 — `sin2_tex2_h1_v8_d`, ICL-NUIM, EuRoC; app/run_pipeline.cpp:707-710),
+which we cannot ship. This module renders a textured fronto-world plane
+through any camera pose, giving every test exact ground-truth poses,
+depths, and 3D line segments — the basis for golden-trajectory / ATE tests.
+
+Geometry: the world plane is z = plane_z (default 0) with the texture axes
+aligned to world x/y at `texel_size` meters per texel. A camera at pose
+T_w_c (R: cam->world) renders by ray-plane intersection + bilinear texture
+lookup — pure JAX, jittable, differentiable.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plsvo_tpu import lie
+from plsvo_tpu.camera import PinholeCamera
+
+
+class PlaneScene(NamedTuple):
+    texture: jnp.ndarray  # (TH, TW) float32 intensities 0..255
+    texel_size: float  # meters per texel
+    plane_z: float  # world-z of the plane
+    origin: jnp.ndarray  # (2,) world-xy of texture texel (0,0)
+
+
+def make_texture(
+    rng: np.random.Generator,
+    size: int = 1024,
+    n_blobs: int = 180,
+    n_rects: int = 40,
+    blur: int = 2,
+) -> np.ndarray:
+    """Procedural texture rich in corners AND straight edges (rectangles
+    produce true 3D line segments for the line pipeline)."""
+    tex = rng.uniform(90.0, 160.0, size=(size, size)).astype(np.float32)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for _ in range(n_blobs):
+        cx, cy = rng.uniform(0, size, 2)
+        r = rng.uniform(3, 14)
+        amp = rng.uniform(-70, 70)
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        tex += amp * np.exp(-d2 / (2 * r * r)).astype(np.float32)
+    for _ in range(n_rects):
+        w = int(rng.uniform(30, 160))
+        h = int(rng.uniform(12, 80))
+        x0 = int(rng.uniform(0, size - w))
+        y0 = int(rng.uniform(0, size - h))
+        amp = float(rng.uniform(-80, 80))
+        tex[y0 : y0 + h, x0 : x0 + w] += amp
+    # light smoothing so bilinear gradients are well-behaved
+    for _ in range(blur):
+        tex = 0.25 * (
+            np.roll(tex, 1, 0) + np.roll(tex, -1, 0)
+            + np.roll(tex, 1, 1) + np.roll(tex, -1, 1)
+        )
+    return np.clip(tex, 0.0, 255.0).astype(np.float32)
+
+
+def make_scene(rng: np.random.Generator, size: int = 1024, texel_size: float = 0.004,
+               **tex_kw) -> PlaneScene:
+    tex = make_texture(rng, size=size, **tex_kw)
+    origin = -0.5 * size * texel_size * np.ones(2, np.float32)
+    return PlaneScene(
+        texture=jnp.asarray(tex),
+        texel_size=float(texel_size),
+        plane_z=0.0,
+        origin=jnp.asarray(origin),
+    )
+
+
+def render(scene: PlaneScene, cam: PinholeCamera, R_w_c: jnp.ndarray, t_w_c: jnp.ndarray):
+    """Render the plane through the camera. Returns (img (H,W), depth (H,W)).
+
+    Pixels whose ray misses the plane (or texture) get intensity 0, depth inf."""
+    return _render(scene, cam, jnp.asarray(R_w_c), jnp.asarray(t_w_c),
+                   cam.has_distortion)
+
+
+@partial(jax.jit, static_argnames=("undistort",))
+def _render(scene: PlaneScene, cam: PinholeCamera, R_w_c, t_w_c, undistort: bool):
+    H, W = cam.height, cam.width
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    uv = jnp.stack([xx, yy], axis=-1).reshape(-1, 2)
+    rays_c = cam.unproject(uv, undistort=undistort)  # (N,3) camera frame
+    rays_w = rays_c @ R_w_c.T
+    # intersect z = plane_z: t = (plane_z - t_w_c.z) / ray.z
+    denom = rays_w[:, 2]
+    tval = (scene.plane_z - t_w_c[2]) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    hit = tval > 1e-6
+    pw = t_w_c[None, :] + tval[:, None] * rays_w
+    txy = (pw[:, :2] - scene.origin[None, :]) / scene.texel_size
+    TH, TW = scene.texture.shape
+    x = jnp.clip(txy[:, 0], 0.0, TW - 1.001)
+    y = jnp.clip(txy[:, 1], 0.0, TH - 1.001)
+    in_tex = (txy[:, 0] >= 0) & (txy[:, 0] <= TW - 1) & (txy[:, 1] >= 0) & (txy[:, 1] <= TH - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    t00 = scene.texture[y0, x0]
+    t01 = scene.texture[y0, jnp.minimum(x0 + 1, TW - 1)]
+    t10 = scene.texture[jnp.minimum(y0 + 1, TH - 1), x0]
+    t11 = scene.texture[jnp.minimum(y0 + 1, TH - 1), jnp.minimum(x0 + 1, TW - 1)]
+    val = (
+        (1 - fx) * (1 - fy) * t00 + fx * (1 - fy) * t01
+        + (1 - fx) * fy * t10 + fx * fy * t11
+    )
+    ok = hit & in_tex
+    img = jnp.where(ok, val, 0.0).reshape(H, W)
+    # depth along the camera z-axis (not ray length): z of point in cam frame
+    p_c = (pw - t_w_c[None, :]) @ R_w_c  # R_w_c^T applied from the right
+    depth = jnp.where(ok, p_c[:, 2], jnp.inf).reshape(H, W)
+    return img, depth
+
+
+def orbit_trajectory(n_frames: int, radius: float = 0.25, height: float = -2.0,
+                     advance: float = 0.012):
+    """Smooth sideways+forward camera sweep above the plane, looking straight
+    down the +z axis (world plane at z=0, camera at z≈-2).
+
+    Returns list of (R_w_c, t_w_c) as numpy arrays."""
+    poses = []
+    for i in range(n_frames):
+        # camera axes: x right, y down-ish, z toward plane (+z world)
+        ang = 0.04 * np.sin(0.25 * i)
+        Rz = np.array(
+            [[np.cos(ang), -np.sin(ang), 0.0],
+             [np.sin(ang), np.cos(ang), 0.0],
+             [0.0, 0.0, 1.0]], np.float32)
+        R = Rz  # identity-ish: camera z == world z
+        t = np.array(
+            [radius * np.sin(0.08 * i), 0.35 * radius * np.sin(0.05 * i),
+             height + advance * i], np.float32)
+        poses.append((R.astype(np.float32), t))
+    return poses
+
+
+def depth_at(scene: PlaneScene, cam: PinholeCamera, R_w_c, t_w_c, uv: jnp.ndarray):
+    """Ground-truth depth (camera-frame z) at pixel coords uv (...,2)."""
+    rays_c = cam.unproject(uv, undistort=cam.has_distortion)
+    rays_w = rays_c @ R_w_c.T
+    denom = rays_w[..., 2]
+    tval = (scene.plane_z - t_w_c[2]) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    return tval * rays_c[..., 2]
