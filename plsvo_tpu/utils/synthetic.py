@@ -122,6 +122,31 @@ def _render(scene: PlaneScene, cam: PinholeCamera, R_w_c, t_w_c, undistort: bool
     return img, depth
 
 
+def render_aa(scene: PlaneScene, cam: PinholeCamera, R_w_c, t_w_c, ss: int = 2):
+    """Antialiased render: supersample ss x and box-downsample.
+
+    Point-sampled rendering of hard texture edges aliases between views and
+    biases photometric alignment along edges; real cameras band-limit, so
+    tests of the line pipeline should use this renderer."""
+    from plsvo_tpu.image import half_sample
+
+    assert ss in (1, 2, 4)
+    if ss == 1:
+        return render(scene, cam, R_w_c, t_w_c)
+    cam_ss = PinholeCamera.create(
+        cam.width * ss, cam.height * ss,
+        cam.fx * ss, cam.fy * ss,
+        # pixel-center convention: center of SS block maps to original center
+        cam.cx * ss + (ss - 1) / 2.0, cam.cy * ss + (ss - 1) / 2.0,
+        cam.dist)
+    img, depth = render(scene, cam_ss, R_w_c, t_w_c)
+    while ss > 1:
+        img = half_sample(img)
+        depth = half_sample(jnp.where(jnp.isinf(depth), 0.0, depth))
+        ss //= 2
+    return img, depth
+
+
 def orbit_trajectory(n_frames: int, radius: float = 0.25, height: float = -2.0,
                      advance: float = 0.012):
     """Smooth sideways+forward camera sweep above the plane, looking straight
