@@ -1,0 +1,140 @@
+"""Batched subpixel feature alignment (inverse-compositional KLT).
+
+TPU-native rebuild of the reference's per-feature aligners
+(reference: src/feature_alignment.cpp — align1D :41-158, align2D :160-290,
+plus hand-written SSE2/NEON variants :294+). One call aligns ALL candidate
+features at once; the SIMD variants are unnecessary because the batch axis
+IS the vector axis on TPU.
+
+Parity notes:
+- inverse compositional with ref-patch gradients precomputed once
+- 3-parameter model (u, v, mean_diff) for align2D; 2-parameter
+  (dist-along-direction, mean_diff) for align1D (edgelets / line endpoints)
+- fixed iteration budget (subpix_n_iter=10), convergence at 0.03 px
+  (feature_alignment.cpp: converged when update norm < 0.03)
+- per-feature convergence mask instead of early-exit branches
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from plsvo_tpu.image import bilinear_sample, patch_offsets
+
+
+class AlignOut(NamedTuple):
+    uv: jnp.ndarray  # (N, 2) refined positions (same level coords as input)
+    converged: jnp.ndarray  # (N,) bool
+    mean_diff: jnp.ndarray  # (N,) photometric offset estimate
+
+
+def ref_patch_gradients(ref_patch_with_border: jnp.ndarray, patch_size: int):
+    """Central-difference gradients of the interior patch from a
+    (patch_size+2)^2 bordered patch (reference: feature_alignment.cpp:179-196
+    computes dx,dy from patch_with_border)."""
+    B = patch_size + 2
+    p = ref_patch_with_border.reshape(-1, B, B)
+    dx = 0.5 * (p[:, 1:-1, 2:] - p[:, 1:-1, :-2])
+    dy = 0.5 * (p[:, 2:, 1:-1] - p[:, :-2, 1:-1])
+    interior = p[:, 1:-1, 1:-1]
+    P = patch_size * patch_size
+    return interior.reshape(-1, P), dx.reshape(-1, P), dy.reshape(-1, P)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_iter"))
+def align2d(
+    cur_img: jnp.ndarray,
+    ref_patch: jnp.ndarray,  # (N, P) interior intensities
+    ref_dx: jnp.ndarray,  # (N, P)
+    ref_dy: jnp.ndarray,  # (N, P)
+    uv_init: jnp.ndarray,  # (N, 2) in cur_img coords
+    valid: jnp.ndarray,  # (N,)
+    *,
+    patch_size: int = 8,
+    n_iter: int = 10,
+    conv_eps: float = 0.03,
+) -> AlignOut:
+    """Refine each feature position by IC-KLT with (u, v, mean_diff)."""
+    N, P = ref_patch.shape
+    f32 = jnp.float32
+    offs = patch_offsets(patch_size, f32)  # (P,2)
+
+    # H = sum_p J Jᵀ with J = [dx, dy, 1]  (feature_alignment.cpp:198-209)
+    ones = jnp.ones_like(ref_dx)
+    J = jnp.stack([ref_dx, ref_dy, ones], axis=-1)  # (N,P,3)
+    H = jnp.einsum("npi,npj->nij", J, J)
+    Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(3, dtype=f32))
+
+    def body(carry, _):
+        uv, mean_diff, conv = carry
+        pos = uv[:, None, :] + offs[None]
+        I_cur, ok = bilinear_sample(cur_img, pos)  # (N,P)
+        in_frame = jnp.all(ok, axis=-1)
+        r = I_cur - ref_patch + mean_diff[:, None]  # (N,P)
+        b = jnp.einsum("npi,np->ni", J, r)  # (N,3)
+        upd = jnp.einsum("nij,nj->ni", Hinv, b)  # (N,3)
+        active = valid & in_frame & jnp.logical_not(conv)
+        # inverse compositional: position moves against the update
+        uv_new = jnp.where(active[:, None], uv - upd[:, :2], uv)
+        md_new = jnp.where(active, mean_diff - upd[:, 2], mean_diff)
+        conv_new = conv | (active & (jnp.linalg.norm(upd[:, :2], axis=-1) < conv_eps))
+        return (uv_new, md_new, conv_new), None
+
+    init = (uv_init.astype(f32), jnp.zeros((N,), f32), jnp.zeros((N,), bool))
+    (uv, md, conv), _ = jax.lax.scan(body, init, None, length=n_iter)
+    # a feature that wandered out of frame is failed
+    pos = uv[:, None, :] + offs[None]
+    _, ok = bilinear_sample(cur_img, pos)
+    return AlignOut(uv=uv, converged=conv & valid & jnp.all(ok, axis=-1), mean_diff=md)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_iter"))
+def align1d(
+    cur_img: jnp.ndarray,
+    ref_patch: jnp.ndarray,
+    ref_dx: jnp.ndarray,
+    ref_dy: jnp.ndarray,
+    uv_init: jnp.ndarray,
+    direction: jnp.ndarray,  # (N,2) unit search direction
+    valid: jnp.ndarray,
+    *,
+    patch_size: int = 8,
+    n_iter: int = 10,
+    conv_eps: float = 0.03,
+) -> AlignOut:
+    """Refine along a 1D direction (edgelets; reference align1D,
+    feature_alignment.cpp:41-158)."""
+    N, P = ref_patch.shape
+    f32 = jnp.float32
+    offs = patch_offsets(patch_size, f32)
+    d = direction / jnp.maximum(jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-8)
+    dgrad = ref_dx * d[:, 0:1] + ref_dy * d[:, 1:2]  # (N,P)
+    ones = jnp.ones_like(dgrad)
+    J = jnp.stack([dgrad, ones], axis=-1)  # (N,P,2)
+    H = jnp.einsum("npi,npj->nij", J, J)
+    Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(2, dtype=f32))
+
+    def body(carry, _):
+        dist, mean_diff, conv = carry
+        uv = uv_init + dist[:, None] * d
+        pos = uv[:, None, :] + offs[None]
+        I_cur, ok = bilinear_sample(cur_img, pos)
+        in_frame = jnp.all(ok, axis=-1)
+        r = I_cur - ref_patch + mean_diff[:, None]
+        b = jnp.einsum("npi,np->ni", J, r)
+        upd = jnp.einsum("nij,nj->ni", Hinv, b)
+        active = valid & in_frame & jnp.logical_not(conv)
+        dist_new = jnp.where(active, dist - upd[:, 0], dist)
+        md_new = jnp.where(active, mean_diff - upd[:, 1], mean_diff)
+        conv_new = conv | (active & (jnp.abs(upd[:, 0]) < conv_eps))
+        return (dist_new, md_new, conv_new), None
+
+    init = (jnp.zeros((N,), f32), jnp.zeros((N,), f32), jnp.zeros((N,), bool))
+    (dist, md, conv), _ = jax.lax.scan(body, init, None, length=n_iter)
+    uv = uv_init + dist[:, None] * d
+    pos = uv[:, None, :] + offs[None]
+    _, ok = bilinear_sample(cur_img, pos)
+    return AlignOut(uv=uv, converged=conv & valid & jnp.all(ok, axis=-1), mean_diff=md)

@@ -1,0 +1,260 @@
+"""Matcher ops: affine warp, search-level selection, batched patch warping,
+epipolar ZMSSD search, two-view triangulation.
+
+TPU-native rebuild of the reference Matcher (reference: src/matcher.cpp —
+getWarpMatrixAffine :44-71, getBestSearchLevel :73-86, warpAffine :88-129,
+depthFromTriangulation :133-146, findMatchDirect :159-275,
+findEpipolarMatchDirect :277-420). Everything is batched over the feature
+axis; per-feature pyramid-level divergence is handled by evaluating the
+(small, static) set of levels and masking.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from plsvo_tpu.image import bilinear_sample
+from plsvo_tpu.ops.feature_align import AlignOut, align2d, ref_patch_gradients
+
+
+def get_warp_affine(
+    fx, fy, cx, cy,
+    uv_ref: jnp.ndarray,  # (N,2) level-0 px in ref
+    f_ref: jnp.ndarray,  # (N,3) unit bearings in ref
+    depth_ref: jnp.ndarray,  # (N,) range along bearing
+    level_ref: jnp.ndarray,  # (N,) int32 anchor pyramid level
+    R_cur_ref: jnp.ndarray,
+    t_cur_ref: jnp.ndarray,
+    halfpatch: int = 5,  # 8/2 + 2 border/2 (matcher.cpp:52)
+) -> jnp.ndarray:
+    """First-order affine warp A_cur_ref (N,2,2) from projecting the 3 points
+    (px, px+du, px+dv) (reference: matcher.cpp:44-71)."""
+    xyz_ref = f_ref * depth_ref[..., None]
+    step = (1 << level_ref).astype(uv_ref.dtype)[..., None]  # (N,1)
+    du = jnp.stack([jnp.full_like(depth_ref, halfpatch), jnp.zeros_like(depth_ref)], -1) * step
+    dv = jnp.stack([jnp.zeros_like(depth_ref), jnp.full_like(depth_ref, halfpatch)], -1) * step
+
+    def unproject_z(uv):
+        x = (uv[..., 0] - cx) / fx
+        y = (uv[..., 1] - cy) / fy
+        return jnp.stack([x, y, jnp.ones_like(x)], -1)
+
+    # scale the du/dv rays to the same z as xyz_ref (matcher.cpp:56-59)
+    r_du = unproject_z(uv_ref + du)
+    r_dv = unproject_z(uv_ref + dv)
+    xyz_du = r_du * (xyz_ref[..., 2:3] / r_du[..., 2:3])
+    xyz_dv = r_dv * (xyz_ref[..., 2:3] / r_dv[..., 2:3])
+
+    def proj_cur(p):
+        q = jnp.einsum("ij,...j->...i", R_cur_ref, p) + t_cur_ref
+        z = jnp.where(jnp.abs(q[..., 2]) < 1e-10, 1e-10, q[..., 2])
+        return jnp.stack([fx * q[..., 0] / z + cx, fy * q[..., 1] / z + cy], -1)
+
+    px = proj_cur(xyz_ref)
+    col0 = (proj_cur(xyz_du) - px) / halfpatch
+    col1 = (proj_cur(xyz_dv) - px) / halfpatch
+    return jnp.stack([col0, col1], axis=-1)  # (N,2,2) columns
+
+
+def best_search_level(A_cur_ref: jnp.ndarray, max_level: int) -> jnp.ndarray:
+    """Pyramid level where the warped patch's area is <= 3 (matcher.cpp:73-86)."""
+    D = jnp.abs(
+        A_cur_ref[..., 0, 0] * A_cur_ref[..., 1, 1]
+        - A_cur_ref[..., 0, 1] * A_cur_ref[..., 1, 0]
+    )
+    # smallest L with D / 4^L <= 3
+    L = jnp.ceil(jnp.log2(jnp.maximum(D / 3.0, 1e-6)) * 0.5)
+    return jnp.clip(L.astype(jnp.int32), 0, max_level)
+
+
+@partial(jax.jit, static_argnames=("patch_size",))
+def warp_patches_affine(
+    pyr_stack: Sequence[jnp.ndarray],  # list over levels of (K, h_l, w_l)
+    kf_idx: jnp.ndarray,  # (N,) which ref image in the stack
+    uv_ref: jnp.ndarray,  # (N,2) level-0 px of the anchor feature
+    level_ref: jnp.ndarray,  # (N,) anchor level
+    A_ref_cur: jnp.ndarray,  # (N,2,2) inverse warp (maps cur->ref offsets)
+    search_level: jnp.ndarray,  # (N,)
+    patch_size: int = 8,
+):
+    """Extract warped (patch_size+2)^2 bordered reference patches
+    (reference: warpAffine matcher.cpp:88-129).
+
+    Sampling positions: ref_pos = uv_ref/2^level_ref + A_ref_cur @ (offs *
+    2^search_level) / 2^level_ref, evaluated on the anchor level image."""
+    B = patch_size + 2
+    half = B / 2.0
+    r = jnp.arange(B, dtype=jnp.float32) - half + 0.5
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    offs = jnp.stack([ox.ravel(), oy.ravel()], -1)  # (B*B, 2) search-level units
+
+    N = uv_ref.shape[0]
+    sl = (1 << search_level).astype(jnp.float32)[:, None, None]
+    # cur-frame level-0 offsets -> ref level-0 offsets
+    offs_cur0 = offs[None] * sl  # (N,B*B,2)
+    offs_ref0 = jnp.einsum("nij,npj->npi", A_ref_cur, offs_cur0)
+
+    out = jnp.zeros((N, B * B), jnp.float32)
+    ok_out = jnp.zeros((N,), bool)
+    for lvl, imgs in enumerate(pyr_stack):
+        scale = 1.0 / (1 << lvl)
+        pos = (uv_ref[:, None, :] + offs_ref0) * scale
+        # gather from each feature's own keyframe image at this level
+        vals, ok = jax.vmap(lambda img, p: bilinear_sample(img, p))(imgs[kf_idx], pos)
+        sel = level_ref == lvl
+        out = jnp.where(sel[:, None], vals, out)
+        ok_out = jnp.where(sel, jnp.all(ok, axis=-1), ok_out)
+    return out, ok_out  # (N, (P+2)^2), (N,)
+
+
+class EpipolarResult(NamedTuple):
+    uv_level: jnp.ndarray  # (N,2) best-match px at the search level
+    zmssd: jnp.ndarray  # (N,) best score
+    ok: jnp.ndarray  # (N,) score under threshold
+
+
+def zmssd(ref_patch: jnp.ndarray, cur_patch: jnp.ndarray, axis=-1):
+    """Zero-mean sum of squared differences (vk::patch_score::ZMSSD analogue,
+    used at matcher.cpp:360-390)."""
+    r = ref_patch - jnp.mean(ref_patch, axis=axis, keepdims=True)
+    c = cur_patch - jnp.mean(cur_patch, axis=axis, keepdims=True)
+    return jnp.sum((r - c) ** 2, axis=axis)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_steps"))
+def epipolar_search_zmssd(
+    cur_pyr: Sequence[jnp.ndarray],
+    ref_patch: jnp.ndarray,  # (N, P) interior ref patches (already warped)
+    f_A: jnp.ndarray,  # (N,3) bearing of endpoint at max depth (unit-plane ray)
+    f_B: jnp.ndarray,  # (N,3) bearing at min depth
+    search_level: jnp.ndarray,  # (N,)
+    valid: jnp.ndarray,  # (N,)
+    fx, fy, cx, cy,
+    *,
+    patch_size: int = 8,
+    n_steps: int = 64,
+    threshold_factor: float = 2000.0,
+) -> EpipolarResult:
+    """Sample ZMSSD along the epipolar segment between the projections of
+    the two depth-extreme bearings, in the CURRENT frame at each feature's
+    search level (reference: matcher.cpp:277-420; fixed step budget per
+    SURVEY §7.2 vs the reference's 0.7px stepping capped at 1000).
+
+    Threshold: ZMSSD < threshold_factor * patch_area
+    (vk ZMSSD::threshold_ = 2000 * patch_area)."""
+    N, P = ref_patch.shape
+    f32 = jnp.float32
+    # unit-plane coords of the two extremes
+    uvA = f_A[..., :2] / f_A[..., 2:3]
+    uvB = f_B[..., :2] / f_B[..., 2:3]
+    alphas = jnp.linspace(0.0, 1.0, n_steps, dtype=f32)
+    uv_n = uvA[:, None, :] + alphas[None, :, None] * (uvB - uvA)[:, None, :]  # (N,S,2)
+    px0 = jnp.stack([fx * uv_n[..., 0] + cx, fy * uv_n[..., 1] + cy], -1)  # level-0
+
+    half = patch_size / 2.0
+    r = jnp.arange(patch_size, dtype=f32) - half + 0.5
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    offs = jnp.stack([ox.ravel(), oy.ravel()], -1)  # (P,2)
+
+    best = jnp.full((N,), jnp.inf, f32)
+    best_uv = jnp.zeros((N, 2), f32)
+    ref_zm = ref_patch - jnp.mean(ref_patch, axis=-1, keepdims=True)
+    for lvl, img in enumerate(cur_pyr):
+        scale = f32(1.0 / (1 << lvl))
+        pos = px0[..., None, :] * scale + offs[None, None]  # (N,S,P,2)
+        vals, ok = bilinear_sample(img, pos)
+        oks = jnp.all(ok, axis=-1)  # (N,S)
+        cur_zm = vals - jnp.mean(vals, axis=-1, keepdims=True)
+        score = jnp.sum((ref_zm[:, None, :] - cur_zm) ** 2, axis=-1)  # (N,S)
+        score = jnp.where(oks, score, jnp.inf)
+        sbest = jnp.min(score, axis=-1)
+        sidx = jnp.argmin(score, axis=-1)
+        uv_lvl = px0[jnp.arange(N), sidx] * scale
+        sel = search_level == lvl
+        better = sel & (sbest < best)
+        best = jnp.where(better, sbest, best)
+        best_uv = jnp.where(better[:, None], uv_lvl, best_uv)
+    ok = valid & (best < threshold_factor * P)
+    return EpipolarResult(uv_level=best_uv, zmssd=best, ok=ok)
+
+
+def triangulate_depth(
+    R_cur_ref: jnp.ndarray, t_cur_ref: jnp.ndarray,
+    f_ref: jnp.ndarray, f_cur: jnp.ndarray,
+):
+    """Two-view least-squares depths (reference: depthFromTriangulation,
+    matcher.cpp:133-146). Returns (depth_ref, depth_cur, ok);
+    d_ref*(R f_ref) - d_cur*f_cur = -t."""
+    Rf = jnp.einsum("ij,...j->...i", R_cur_ref, f_ref)
+    # A = [Rf, -f_cur]: (...,3,2)
+    A = jnp.stack([Rf, -f_cur], axis=-1)
+    AtA = jnp.einsum("...ik,...il->...kl", A, A)
+    Atb = jnp.einsum("...ik,...i->...k", A, -t_cur_ref)
+    det = AtA[..., 0, 0] * AtA[..., 1, 1] - AtA[..., 0, 1] * AtA[..., 1, 0]
+    ok = jnp.abs(det) > 1e-10
+    det_s = jnp.where(ok, det, 1.0)
+    d_ref = (AtA[..., 1, 1] * Atb[..., 0] - AtA[..., 0, 1] * Atb[..., 1]) / det_s
+    d_cur = (AtA[..., 0, 0] * Atb[..., 1] - AtA[..., 1, 0] * Atb[..., 0]) / det_s
+    ok = ok & (d_ref > 0) & (d_cur > 0)
+    return d_ref, d_cur, ok
+
+
+class MatchResult(NamedTuple):
+    uv: jnp.ndarray  # (N,2) refined level-0 positions in cur frame
+    level: jnp.ndarray  # (N,) search level used
+    ok: jnp.ndarray  # (N,)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_iter", "max_level"))
+def find_match_direct(
+    ref_pyr_stack: Sequence[jnp.ndarray],  # list over levels of (K,h,w)
+    cur_pyr: Sequence[jnp.ndarray],  # list over levels of (h,w)
+    kf_idx: jnp.ndarray,  # (N,)
+    uv_ref: jnp.ndarray,  # (N,2) anchor feature px (level-0)
+    f_ref: jnp.ndarray,  # (N,3) anchor bearing
+    depth_ref: jnp.ndarray,  # (N,) range in anchor frame
+    level_ref: jnp.ndarray,  # (N,)
+    R_cur_ref: jnp.ndarray, t_cur_ref: jnp.ndarray,  # (N,3,3), (N,3) per-feature!
+    uv_cur_init: jnp.ndarray,  # (N,2) projected level-0 position in cur
+    valid: jnp.ndarray,
+    fx, fy, cx, cy,
+    *,
+    patch_size: int = 8,
+    n_iter: int = 10,
+    max_level: int = 4,
+) -> MatchResult:
+    """Batched Matcher::findMatchDirect (reference: matcher.cpp:159-207):
+    affine warp the anchor patch, pick the best search level, then align2D
+    in the current frame at that level. R/t are per-feature because each
+    anchor lives in its own keyframe."""
+    N = uv_ref.shape[0]
+    A = jax.vmap(
+        lambda uv, f, d, lv, R, t: get_warp_affine(
+            fx, fy, cx, cy, uv[None], f[None], d[None], lv[None], R, t
+        )[0]
+    )(uv_ref, f_ref, depth_ref, level_ref, R_cur_ref, t_cur_ref)
+    det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+    A_ok = jnp.abs(det) > 1e-6
+    A_inv = jnp.linalg.inv(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
+    slevel = best_search_level(A, max_level)
+
+    patches_b, warp_ok = warp_patches_affine(
+        ref_pyr_stack, kf_idx, uv_ref, level_ref, A_inv, slevel,
+        patch_size=patch_size)
+    ref_patch, ref_dx, ref_dy = ref_patch_gradients(patches_b, patch_size)
+
+    ok0 = valid & warp_ok & A_ok
+    uv_out = uv_cur_init
+    conv_out = jnp.zeros((N,), bool)
+    for lvl in range(len(cur_pyr)):
+        scale = 1.0 / (1 << lvl)
+        res = align2d(
+            cur_pyr[lvl], ref_patch, ref_dx, ref_dy, uv_cur_init * scale,
+            ok0 & (slevel == lvl), patch_size=patch_size, n_iter=n_iter)
+        sel = slevel == lvl
+        uv_out = jnp.where(sel[:, None], res.uv / scale, uv_out)
+        conv_out = jnp.where(sel, res.converged, conv_out)
+    return MatchResult(uv=uv_out, level=slevel, ok=conv_out & ok0)
