@@ -1,0 +1,360 @@
+"""Bayesian depth filter: vectorized recursive inverse-depth estimation.
+
+TPU-native rebuild of DepthFilter (reference: src/depth_filter.cpp).
+The reference runs a mapping thread that loops over a seed list per frame
+(depth_filter.cpp:282-363); here ALL seeds update in one batched dispatch
+per frame — the thread+mutex machinery disappears by construction
+(SURVEY §7.0).
+
+Model (Vogiatzis & Hernandez Gaussian x Beta, exact parity):
+- seed init a=b=10, mu=1/depth_mean, z_range=1/depth_min,
+  sigma2=(z_range/6)^2 (depth_filter.cpp:53-61)
+- per-frame: epipolar ZMSSD search in the [mu-sigma, mu+sigma]
+  inverse-depth band (depth_filter.cpp:307-317), subpixel refinement,
+  triangulation, tau from the 1px angular-error triangle
+  (computeTau, depth_filter.cpp:568-584)
+- Bayes update of (mu, sigma2, a, b) (updatePointSeed,
+  depth_filter.cpp:489-512); line seeds update both endpoints with shared
+  a,b fused max/min (updateLineSeed, depth_filter.cpp:514-566)
+- failed match: b += 1 (depth_filter.cpp:316,326)
+- convergence: sqrt(sigma2) < z_range/200 (depth_filter.cpp:332)
+- age-out after 3 keyframe batches (depth_filter.cpp:289-292)
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from plsvo_tpu import lie
+from plsvo_tpu.ops import matcher as matcher_ops
+from plsvo_tpu.ops.feature_align import align2d, ref_patch_gradients
+
+
+class PointSeeds(NamedTuple):
+    """SoA seed table, fixed capacity S (SURVEY §7.0 SeedTable)."""
+
+    kf_idx: jnp.ndarray  # (S,) keyframe slot of the anchor feature
+    uv: jnp.ndarray  # (S,2) anchor px (level-0)
+    f: jnp.ndarray  # (S,3) anchor unit bearing
+    level: jnp.ndarray  # (S,) detection level
+    mu: jnp.ndarray  # (S,) inverse-depth mean
+    sigma2: jnp.ndarray  # (S,) inverse-depth variance
+    z_range: jnp.ndarray  # (S,) inverse-depth prior range
+    a: jnp.ndarray  # (S,) Beta inlier count
+    b: jnp.ndarray  # (S,) Beta outlier count
+    batch_id: jnp.ndarray  # (S,) keyframe batch of creation
+    alive: jnp.ndarray  # (S,) bool
+
+
+class LineSeeds(NamedTuple):
+    kf_idx: jnp.ndarray
+    s_uv: jnp.ndarray  # (S,2)
+    e_uv: jnp.ndarray
+    sf: jnp.ndarray  # (S,3)
+    ef: jnp.ndarray
+    level: jnp.ndarray
+    mu_s: jnp.ndarray
+    sigma2_s: jnp.ndarray
+    z_range_s: jnp.ndarray
+    mu_e: jnp.ndarray
+    sigma2_e: jnp.ndarray
+    z_range_e: jnp.ndarray
+    a: jnp.ndarray
+    b: jnp.ndarray
+    batch_id: jnp.ndarray
+    alive: jnp.ndarray
+
+
+def empty_point_seeds(capacity: int) -> PointSeeds:
+    z = jnp.zeros
+    return PointSeeds(
+        kf_idx=z(capacity, jnp.int32), uv=z((capacity, 2)), f=z((capacity, 3)),
+        level=z(capacity, jnp.int32), mu=z(capacity), sigma2=z(capacity),
+        z_range=z(capacity), a=z(capacity), b=z(capacity),
+        batch_id=z(capacity, jnp.int32), alive=z(capacity, bool))
+
+
+def empty_line_seeds(capacity: int) -> LineSeeds:
+    z = jnp.zeros
+    return LineSeeds(
+        kf_idx=z(capacity, jnp.int32), s_uv=z((capacity, 2)), e_uv=z((capacity, 2)),
+        sf=z((capacity, 3)), ef=z((capacity, 3)), level=z(capacity, jnp.int32),
+        mu_s=z(capacity), sigma2_s=z(capacity), z_range_s=z(capacity),
+        mu_e=z(capacity), sigma2_e=z(capacity), z_range_e=z(capacity),
+        a=z(capacity), b=z(capacity), batch_id=z(capacity, jnp.int32),
+        alive=z(capacity, bool))
+
+
+def seed_init_params(depth_mean, depth_min):
+    """(mu, sigma2, z_range) for new seeds (depth_filter.cpp:53-61)."""
+    mu = 1.0 / depth_mean
+    z_range = 1.0 / depth_min
+    sigma2 = z_range * z_range / 36.0
+    return mu, sigma2, z_range
+
+
+def bayes_update(x, tau2, mu, sigma2, a, b, z_range):
+    """Vogiatzis Gaussian x Beta update, elementwise
+    (reference: updatePointSeed, depth_filter.cpp:489-512).
+    Returns (mu', sigma2', a', b', valid)."""
+    norm_scale2 = sigma2 + tau2
+    s2 = 1.0 / (1.0 / jnp.maximum(sigma2, 1e-20) + 1.0 / jnp.maximum(tau2, 1e-20))
+    m = s2 * (mu / jnp.maximum(sigma2, 1e-20) + x / jnp.maximum(tau2, 1e-20))
+    pdf = jnp.exp(-0.5 * (x - mu) ** 2 / jnp.maximum(norm_scale2, 1e-20)) / jnp.sqrt(
+        2.0 * math.pi * jnp.maximum(norm_scale2, 1e-20))
+    C1 = a / (a + b) * pdf
+    C2 = b / (a + b) / jnp.maximum(z_range, 1e-20)
+    norm = jnp.maximum(C1 + C2, 1e-30)
+    C1 = C1 / norm
+    C2 = C2 / norm
+    ab1 = a + b + 1.0
+    ab2 = a + b + 2.0
+    f = C1 * (a + 1.0) / ab1 + C2 * a / ab1
+    e = (C1 * (a + 1.0) * (a + 2.0) / (ab1 * ab2)
+         + C2 * a * (a + 1.0) / (ab1 * ab2))
+    mu_new = C1 * m + C2 * mu
+    sigma2_new = C1 * (s2 + m * m) + C2 * (sigma2 + mu * mu) - mu_new * mu_new
+    # NOTE: the denominator f - e/f is negative in the normal regime — do
+    # not clamp it (a sign-blind epsilon guard corrupts a/b catastrophically)
+    denom = f - e / jnp.where(jnp.abs(f) < 1e-20, 1e-20, f)
+    a_new = (e - f) / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    b_new = a_new * (1.0 - f) / jnp.where(jnp.abs(f) < 1e-20, 1e-20, f)
+    ok = (
+        jnp.isfinite(mu_new) & jnp.isfinite(sigma2_new)
+        & jnp.isfinite(a_new) & jnp.isfinite(b_new) & (sigma2_new > 0)
+        & (a_new > 0) & (b_new > 0)
+    )
+    return mu_new, sigma2_new, a_new, b_new, ok
+
+
+def compute_tau(t_ref_cur, f, z, px_error_angle):
+    """Depth std-dev from a one-pixel angular error triangle
+    (reference: computeTau, depth_filter.cpp:568-584). Batched over seeds."""
+    t_norm = jnp.linalg.norm(t_ref_cur, axis=-1)
+    a_vec = f * z[..., None] - t_ref_cur
+    a_norm = jnp.linalg.norm(a_vec, axis=-1)
+    dot_ft = jnp.sum(f * t_ref_cur, axis=-1)
+    alpha = jnp.arccos(jnp.clip(dot_ft / jnp.maximum(t_norm, 1e-12), -1.0, 1.0))
+    dot_at = jnp.sum(a_vec * (-t_ref_cur), axis=-1)
+    beta = jnp.arccos(jnp.clip(
+        dot_at / jnp.maximum(t_norm * a_norm, 1e-12), -1.0, 1.0))
+    beta_plus = beta + px_error_angle
+    gamma = math.pi - alpha - beta_plus
+    z_plus = t_norm * jnp.sin(beta_plus) / jnp.maximum(jnp.sin(gamma), 1e-12)
+    return z_plus - z
+
+
+class SeedUpdateResult(NamedTuple):
+    seeds: PointSeeds
+    converged: jnp.ndarray  # (S,) harvest now
+    matched: jnp.ndarray  # (S,) got an epipolar match this frame
+    depth_converged: jnp.ndarray  # (S,) 1/mu for harvested seeds
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_epi_steps", "max_seed_kfs",
+                                   "sigma_conv_factor"))
+def update_point_seeds(
+    seeds: PointSeeds,
+    kf_R_w: jnp.ndarray,  # (K,3,3) keyframe poses cam->world
+    kf_t_w: jnp.ndarray,  # (K,3)
+    kf_pyr_stack: Sequence[jnp.ndarray],  # list over levels of (K,h,w)
+    cur_pyr: Sequence[jnp.ndarray],
+    R_w_cur: jnp.ndarray, t_w_cur: jnp.ndarray,
+    fx, fy, cx, cy,
+    batch_counter: jnp.ndarray,
+    *,
+    patch_size: int = 8,
+    n_epi_steps: int = 64,
+    max_seed_kfs: int = 3,
+    sigma_conv_factor: float = 200.0,
+) -> SeedUpdateResult:
+    """One frame's worth of seed updates, all seeds at once
+    (reference: updatePointSeeds, depth_filter.cpp:282-363)."""
+    f32 = jnp.float32
+    S = seeds.mu.shape[0]
+
+    # age-out (depth_filter.cpp:289-292)
+    alive = seeds.alive & ((batch_counter - seeds.batch_id) <= max_seed_kfs)
+
+    # per-seed relative pose T_cur_ref = T_cur_w * T_w_kf
+    R_kf = kf_R_w[seeds.kf_idx]  # (S,3,3) cam->world
+    t_kf = kf_t_w[seeds.kf_idx]
+    R_cw, t_cw = lie.inverse(R_w_cur, t_w_cur)
+    R_cr = jnp.einsum("ij,sjk->sik", R_cw, R_kf)
+    t_cr = jnp.einsum("ij,sj->si", R_cw, t_kf) + t_cw
+
+    # visibility at the mean depth
+    depth = 1.0 / jnp.maximum(seeds.mu, 1e-10)
+    xyz_ref = seeds.f * depth[:, None]
+    xyz_cur = jnp.einsum("sij,sj->si", R_cr, xyz_ref) + t_cr
+    z_ok = xyz_cur[:, 2] > 0.1
+    uv_cur = jnp.stack([
+        fx * xyz_cur[:, 0] / jnp.maximum(xyz_cur[:, 2], 1e-6) + cx,
+        fy * xyz_cur[:, 1] / jnp.maximum(xyz_cur[:, 2], 1e-6) + cy], -1)
+    H0, W0 = cur_pyr[0].shape
+    margin = patch_size
+    in_frame = (
+        (uv_cur[:, 0] > margin) & (uv_cur[:, 0] < W0 - margin)
+        & (uv_cur[:, 1] > margin) & (uv_cur[:, 1] < H0 - margin))
+    visible = alive & z_ok & in_frame
+
+    # warped reference patches at the best search level
+    A = jax.vmap(
+        lambda uv, f, d, lv, R, t: matcher_ops.get_warp_affine(
+            fx, fy, cx, cy, uv[None], f[None], d[None], lv[None], R, t)[0]
+    )(seeds.uv, seeds.f, depth, seeds.level, R_cr, t_cr)
+    detA = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+    A_ok = jnp.abs(detA) > 1e-6
+    A_inv = jnp.linalg.inv(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
+    slevel = matcher_ops.best_search_level(A, len(cur_pyr) - 1)
+    patches_b, warp_ok = matcher_ops.warp_patches_affine(
+        kf_pyr_stack, seeds.kf_idx, seeds.uv, seeds.level, A_inv, slevel,
+        patch_size=patch_size)
+    ref_patch, ref_dx, ref_dy = ref_patch_gradients(patches_b, patch_size)
+
+    # epipolar band from the inverse-depth interval [mu - sigma, mu + sigma]
+    sigma = jnp.sqrt(jnp.maximum(seeds.sigma2, 0.0))
+    i_min = jnp.maximum(seeds.mu - sigma, 1e-7)  # farthest (smallest idepth)
+    i_max = seeds.mu + sigma
+    d_max = 1.0 / i_min
+    d_min = 1.0 / i_max
+    xyz_far = jnp.einsum("sij,sj->si", R_cr, seeds.f * d_max[:, None]) + t_cr
+    xyz_near = jnp.einsum("sij,sj->si", R_cr, seeds.f * d_min[:, None]) + t_cr
+    search_valid = visible & warp_ok & A_ok & (xyz_far[:, 2] > 1e-3) & (xyz_near[:, 2] > 1e-3)
+
+    epi = matcher_ops.epipolar_search_zmssd(
+        cur_pyr, ref_patch, xyz_far, xyz_near, slevel, search_valid,
+        fx, fy, cx, cy, patch_size=patch_size, n_steps=n_epi_steps)
+
+    # subpixel refinement at the search level, then triangulate
+    uv_ref_lvl = epi.uv_level
+    uv0 = jnp.zeros_like(uv_ref_lvl)
+    conv = jnp.zeros((S,), bool)
+    for lvl in range(len(cur_pyr)):
+        res = align2d(cur_pyr[lvl], ref_patch, ref_dx, ref_dy, uv_ref_lvl,
+                      epi.ok & (slevel == lvl), patch_size=patch_size, n_iter=10)
+        sel = slevel == lvl
+        scale_back = f32(1 << lvl)
+        uv0 = jnp.where(sel[:, None], res.uv * scale_back, uv0)
+        conv = jnp.where(sel, res.converged, conv)
+    matched = epi.ok & conv
+
+    # bearing of the refined match in the CUR frame
+    x_n = (uv0[:, 0] - cx) / fx
+    y_n = (uv0[:, 1] - cy) / fy
+    f_cur = jnp.stack([x_n, y_n, jnp.ones_like(x_n)], -1)
+    f_cur = f_cur / jnp.linalg.norm(f_cur, axis=-1, keepdims=True)
+    d_ref, d_cur, tri_ok = matcher_ops.triangulate_depth(R_cr, t_cr, seeds.f, f_cur)
+    matched = matched & tri_ok & (d_ref > 1e-6)
+
+    # tau in inverse-depth space (depth_filter.cpp:319-321)
+    px_error_angle = jnp.arctan(1.0 / (2.0 * fx)) * 2.0
+    R_rc, t_rc = (jnp.swapaxes(R_cr, -1, -2),
+                  -jnp.einsum("sji,sj->si", R_cr, t_cr))
+    tau = compute_tau(t_rc, seeds.f, d_ref, px_error_angle)
+    tau_inv = 0.5 * (1.0 / jnp.maximum(d_ref - tau, 1e-7)
+                     - 1.0 / jnp.maximum(d_ref + tau, 1e-7))
+    x_meas = 1.0 / jnp.maximum(d_ref, 1e-10)
+
+    mu_n, s2_n, a_n, b_n, upd_ok = bayes_update(
+        x_meas, tau_inv * tau_inv, seeds.mu, seeds.sigma2, seeds.a, seeds.b,
+        seeds.z_range)
+    do_upd = matched & upd_ok
+    mu = jnp.where(do_upd, mu_n, seeds.mu)
+    sigma2 = jnp.where(do_upd, s2_n, seeds.sigma2)
+    a_new = jnp.where(do_upd, a_n, seeds.a)
+    # failed visible search counts as an outlier observation (b += 1)
+    b_new = jnp.where(do_upd, b_n,
+                      jnp.where(visible & ~matched, seeds.b + 1.0, seeds.b))
+
+    converged = alive & (jnp.sqrt(jnp.maximum(sigma2, 0.0))
+                         < seeds.z_range / sigma_conv_factor)
+    # kill diverged/NaN seeds
+    dead = ~jnp.isfinite(mu) | ~jnp.isfinite(sigma2) | (mu < 0)
+    alive_out = alive & ~dead & ~converged
+
+    new_seeds = seeds._replace(
+        mu=mu, sigma2=sigma2, a=a_new, b=b_new, alive=alive_out)
+    return SeedUpdateResult(
+        seeds=new_seeds, converged=converged, matched=matched,
+        depth_converged=1.0 / jnp.maximum(mu, 1e-10))
+
+
+class LineSeedUpdateResult(NamedTuple):
+    seeds: LineSeeds
+    converged: jnp.ndarray  # (S,)
+    matched: jnp.ndarray  # (S,) both endpoints matched
+    depth_s: jnp.ndarray  # (S,) converged start-endpoint depths (1/mu_s)
+    depth_e: jnp.ndarray
+
+
+def _line_endpoint_view(seeds: LineSeeds, start: bool) -> PointSeeds:
+    return PointSeeds(
+        kf_idx=seeds.kf_idx,
+        uv=seeds.s_uv if start else seeds.e_uv,
+        f=seeds.sf if start else seeds.ef,
+        level=seeds.level,
+        mu=seeds.mu_s if start else seeds.mu_e,
+        sigma2=seeds.sigma2_s if start else seeds.sigma2_e,
+        z_range=seeds.z_range_s if start else seeds.z_range_e,
+        a=seeds.a, b=seeds.b,
+        batch_id=seeds.batch_id, alive=seeds.alive)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_epi_steps", "max_seed_kfs",
+                                   "sigma_conv_factor"))
+def update_line_seeds(
+    seeds: LineSeeds,
+    kf_R_w: jnp.ndarray, kf_t_w: jnp.ndarray,
+    kf_pyr_stack: Sequence[jnp.ndarray],
+    cur_pyr: Sequence[jnp.ndarray],
+    R_w_cur: jnp.ndarray, t_w_cur: jnp.ndarray,
+    fx, fy, cx, cy,
+    batch_counter: jnp.ndarray,
+    *,
+    patch_size: int = 8,
+    n_epi_steps: int = 64,
+    max_seed_kfs: int = 3,
+    sigma_conv_factor: float = 200.0,
+) -> LineSeedUpdateResult:
+    """Line seeds: both endpoints run the point-seed machinery
+    (findEpipolarMatchDirectSegmentEndpoint analogue, matcher.cpp:422-586);
+    the shared Beta parameters fuse as a=max(a_s,a_e), b=min(b_s,b_e)
+    (reference: updateLineSeed, depth_filter.cpp:557-566)."""
+    kw = dict(patch_size=patch_size, n_epi_steps=n_epi_steps,
+              max_seed_kfs=max_seed_kfs, sigma_conv_factor=sigma_conv_factor)
+    rs = update_point_seeds(
+        _line_endpoint_view(seeds, True), kf_R_w, kf_t_w, kf_pyr_stack,
+        cur_pyr, R_w_cur, t_w_cur, fx, fy, cx, cy, batch_counter, **kw)
+    re_ = update_point_seeds(
+        _line_endpoint_view(seeds, False), kf_R_w, kf_t_w, kf_pyr_stack,
+        cur_pyr, R_w_cur, t_w_cur, fx, fy, cx, cy, batch_counter, **kw)
+    both = rs.matched & re_.matched
+    # apply endpoint updates only when BOTH endpoints matched (the reference
+    # updates jointly in updateLineSeed, depth_filter.cpp:406-430)
+    mu_s = jnp.where(both, rs.seeds.mu, seeds.mu_s)
+    s2_s = jnp.where(both, rs.seeds.sigma2, seeds.sigma2_s)
+    mu_e = jnp.where(both, re_.seeds.mu, seeds.mu_e)
+    s2_e = jnp.where(both, re_.seeds.sigma2, seeds.sigma2_e)
+    a = jnp.where(both, jnp.maximum(rs.seeds.a, re_.seeds.a), seeds.a)
+    b = jnp.where(both, jnp.minimum(rs.seeds.b, re_.seeds.b),
+                  jnp.where(rs.matched | re_.matched, seeds.b,
+                            jnp.where(seeds.alive, seeds.b + 1.0, seeds.b)))
+    sig_s = jnp.sqrt(jnp.maximum(s2_s, 0.0))
+    sig_e = jnp.sqrt(jnp.maximum(s2_e, 0.0))
+    converged = seeds.alive & (sig_s < seeds.z_range_s / sigma_conv_factor) \
+        & (sig_e < seeds.z_range_e / sigma_conv_factor)
+    aged = (batch_counter - seeds.batch_id) > max_seed_kfs
+    dead = ~jnp.isfinite(mu_s) | ~jnp.isfinite(mu_e) | (mu_s < 0) | (mu_e < 0) | aged
+    alive_out = seeds.alive & ~dead & ~converged
+    new_seeds = seeds._replace(
+        mu_s=mu_s, sigma2_s=s2_s, mu_e=mu_e, sigma2_e=s2_e, a=a, b=b,
+        alive=alive_out)
+    return LineSeedUpdateResult(
+        seeds=new_seeds, converged=converged, matched=both,
+        depth_s=1.0 / jnp.maximum(mu_s, 1e-10),
+        depth_e=1.0 / jnp.maximum(mu_e, 1e-10))

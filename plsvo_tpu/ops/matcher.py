@@ -84,7 +84,9 @@ def warp_patches_affine(
     (reference: warpAffine matcher.cpp:88-129).
 
     Sampling positions: ref_pos = uv_ref/2^level_ref + A_ref_cur @ (offs *
-    2^search_level) / 2^level_ref, evaluated on the anchor level image."""
+    2^search_level), evaluated on the anchor level image — A_ref_cur maps
+    cur level-0 offsets into ref ANCHOR-level pixel units (see
+    get_warp_affine: its input unit is 2^level_ref ref px, matcher.cpp:52-59)."""
     B = patch_size + 2
     half = B / 2.0
     r = jnp.arange(B, dtype=jnp.float32) - half + 0.5
@@ -101,7 +103,9 @@ def warp_patches_affine(
     ok_out = jnp.zeros((N,), bool)
     for lvl, imgs in enumerate(pyr_stack):
         scale = 1.0 / (1 << lvl)
-        pos = (uv_ref[:, None, :] + offs_ref0) * scale
+        # offs_ref0 is already in anchor-level pixel units; only the anchor
+        # position converts from level-0 coords
+        pos = uv_ref[:, None, :] * scale + offs_ref0
         # gather from each feature's own keyframe image at this level
         vals, ok = jax.vmap(lambda img, p: bilinear_sample(img, p))(imgs[kf_idx], pos)
         sel = level_ref == lvl
@@ -187,8 +191,8 @@ def triangulate_depth(
 ):
     """Two-view least-squares depths (reference: depthFromTriangulation,
     matcher.cpp:133-146). Returns (depth_ref, depth_cur, ok);
-    d_ref*(R f_ref) - d_cur*f_cur = -t."""
-    Rf = jnp.einsum("ij,...j->...i", R_cur_ref, f_ref)
+    d_ref*(R f_ref) - d_cur*f_cur = -t. R/t may be batched (...,3,3)/(...,3)."""
+    Rf = jnp.einsum("...ij,...j->...i", R_cur_ref, f_ref)
     # A = [Rf, -f_cur]: (...,3,2)
     A = jnp.stack([Rf, -f_cur], axis=-1)
     AtA = jnp.einsum("...ik,...il->...kl", A, A)

@@ -1,0 +1,134 @@
+import jax.numpy as jnp
+import numpy as np
+
+from plsvo_tpu import lie
+from plsvo_tpu.camera import PinholeCamera
+from plsvo_tpu.image import build_pyramid
+from plsvo_tpu.ops import depth_filter as df
+from plsvo_tpu.ops import detection
+from plsvo_tpu.utils import synthetic
+
+CAM = PinholeCamera.create(320, 240, 250.0, 250.0, 160.0, 120.0)
+
+
+def test_bayes_update_converges_with_good_measurements(rng):
+    true_idepth = 0.5
+    mu, sigma2, z_range = df.seed_init_params(depth_mean=3.0, depth_min=0.8)
+    S = 1
+    mu = jnp.full((S,), mu)
+    sigma2 = jnp.full((S,), sigma2)
+    z_range = jnp.full((S,), z_range)
+    a = jnp.full((S,), 10.0)
+    b = jnp.full((S,), 10.0)
+    tau2 = jnp.full((S,), 1e-4)
+    for i in range(30):
+        x = jnp.full((S,), true_idepth + rng.normal(0, 0.01))
+        mu, sigma2, a, b, ok = df.bayes_update(x, tau2, mu, sigma2, a, b, z_range)
+        assert bool(ok[0])
+    assert abs(float(mu[0]) - true_idepth) < 0.02
+    assert float(sigma2[0]) < 1e-4
+    assert float(a[0]) > float(b[0])  # inlier ratio grew
+
+
+def test_bayes_update_outliers_grow_b(rng):
+    mu, sigma2, z_range = df.seed_init_params(3.0, 0.8)
+    mu = jnp.asarray([mu]); sigma2 = jnp.asarray([sigma2])
+    z_range = jnp.asarray([z_range])
+    a = jnp.asarray([10.0]); b = jnp.asarray([10.0])
+    tau2 = jnp.asarray([1e-4])
+    ratio0 = float(a[0] / (a[0] + b[0]))
+    for i in range(20):
+        x = jnp.asarray([float(rng.uniform(0.05, 1.2))])  # junk measurements
+        mu, sigma2, a, b, ok = df.bayes_update(x, tau2, mu, sigma2, a, b, z_range)
+    ratio = float(a[0] / (a[0] + b[0]))
+    assert ratio < ratio0  # inlier confidence dropped
+
+
+def test_compute_tau_decreases_with_baseline():
+    f = jnp.asarray([[0.0, 0.0, 1.0]])
+    z = jnp.asarray([3.0])
+    px_err = float(np.arctan(1.0 / 500.0) * 2)
+    taus = []
+    for bl in (0.02, 0.1, 0.3):
+        t = jnp.asarray([[bl, 0.0, 0.0]])
+        taus.append(abs(float(df.compute_tau(t, f, z, px_err)[0])))
+    assert taus[0] > taus[1] > taus[2]
+
+
+def test_update_point_seeds_converges_to_gt_depth(rng):
+    scene = synthetic.make_scene(rng, size=1024, texel_size=0.004)
+    R0 = np.eye(3, dtype=np.float32)
+    t0 = np.array([0.0, 0.0, -2.0], np.float32)
+    img0, _ = synthetic.render_aa(scene, CAM, R0, t0)
+    pyr0 = build_pyramid(img0, 4)
+
+    # detect seeds in the keyframe
+    grid = detection.detect_fast_grid(pyr0, cell_size=20)
+    uv = np.asarray(grid.uv)
+    v = np.asarray(grid.valid)
+    order = np.argsort(-np.asarray(grid.score))[:96]
+    uv, v = uv[order], v[order]
+    lvl = np.asarray(grid.level)[order]
+    S = len(uv)
+    f = np.asarray(CAM.unproject(jnp.asarray(uv)))
+
+    z_gt = np.asarray(synthetic.depth_at(scene, CAM, jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(uv)))
+    rng_gt = z_gt / f[:, 2]
+
+    mu, sigma2, z_range = df.seed_init_params(depth_mean=2.2, depth_min=0.9)
+    seeds = df.PointSeeds(
+        kf_idx=jnp.zeros(S, jnp.int32),
+        uv=jnp.asarray(uv, jnp.float32), f=jnp.asarray(f, jnp.float32),
+        level=jnp.asarray(lvl, jnp.int32),
+        mu=jnp.full((S,), mu), sigma2=jnp.full((S,), sigma2),
+        z_range=jnp.full((S,), z_range),
+        a=jnp.full((S,), 10.0), b=jnp.full((S,), 10.0),
+        batch_id=jnp.zeros(S, jnp.int32), alive=jnp.asarray(v))
+
+    kf_R = jnp.asarray(R0)[None]
+    kf_t = jnp.asarray(t0)[None]
+    kf_stack = [p[None] for p in pyr0]
+
+    # sigma shrinks as (sum_i (b_i/(theta*z))^2)^-1/2; reaching the
+    # z_range/200 gate needs ~14 frames at 3cm/frame here
+    harvested_depth = np.zeros(S)
+    harvested = np.zeros(S, bool)
+    for i in range(1, 15):
+        t_i = t0 + np.asarray([0.03 * i, 0.003 * i, 0.0], np.float32)
+        R_i = R0
+        img_i, _ = synthetic.render_aa(scene, CAM, R_i, t_i)
+        pyr_i = build_pyramid(img_i, 4)
+        res = df.update_point_seeds(
+            seeds, kf_R, kf_t, kf_stack, pyr_i,
+            jnp.asarray(R_i), jnp.asarray(t_i),
+            CAM.fx, CAM.fy, CAM.cx, CAM.cy, jnp.asarray(0, jnp.int32))
+        conv = np.asarray(res.converged)
+        new = conv & ~harvested
+        harvested_depth[new] = np.asarray(res.depth_converged)[new]
+        harvested |= new
+        seeds = res.seeds
+
+    assert harvested.sum() > 15, f"only {harvested.sum()} seeds converged"
+    rel = np.abs(harvested_depth[harvested] - rng_gt[harvested]) / rng_gt[harvested]
+    assert np.median(rel) < 0.02, np.median(rel)
+
+
+def test_seed_age_out():
+    seeds = df.empty_point_seeds(8)
+    seeds = seeds._replace(alive=jnp.ones(8, bool),
+                           batch_id=jnp.arange(8, dtype=jnp.int32),
+                           mu=jnp.full((8,), 0.5), sigma2=jnp.full((8,), 1e-2),
+                           z_range=jnp.full((8,), 1.0),
+                           f=jnp.tile(jnp.asarray([[0.0, 0, 1.0]]), (8, 1)),
+                           a=jnp.full((8,), 10.0), b=jnp.full((8,), 10.0))
+    img = jnp.zeros((64, 64), jnp.float32)
+    pyr = [img, img[::2, ::2]]
+    res = df.update_point_seeds(
+        seeds, jnp.eye(3)[None], jnp.zeros(3)[None],
+        [p[None] for p in pyr], pyr,
+        jnp.eye(3), jnp.zeros(3),
+        jnp.asarray(50.0), jnp.asarray(50.0), jnp.asarray(32.0), jnp.asarray(32.0),
+        jnp.asarray(7, jnp.int32), max_seed_kfs=3)
+    # batches 0..3 are older than 3 batches before counter 7 -> dead
+    alive = np.asarray(res.seeds.alive)
+    assert not alive[:4].any()
