@@ -45,6 +45,7 @@ class PipelineConfig:
     lsd_min_length: float = 0.15  # fraction of min(W,H) (feature_detection.cpp:154)
 
     # initialization (C6)
+    init_min_fts: int = 100  # first-frame feature gate (initialization.cpp:44)
     init_min_disparity: float = 40.0
     init_min_tracked: int = 40
     init_min_inliers: int = 30
@@ -145,8 +146,11 @@ def default_config() -> Config:
 
 
 def fast_config() -> Config:
-    """Smaller capacities for tests / CPU runs."""
+    """Smaller capacities + gates scaled for small test images (320x240)."""
     return Config(
+        pipeline=PipelineConfig(
+            init_min_fts=50, init_min_tracked=30, init_min_disparity=25.0,
+        ),
         caps=CapacityConfig(
             max_fts=128, max_segs=32, max_kfs=8, max_points=1024,
             max_lines=256, max_seeds=256, max_seed_segs=64,

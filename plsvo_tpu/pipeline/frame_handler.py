@@ -1,0 +1,723 @@
+"""FrameHandlerMono: the tracking pipeline stage machine.
+
+TPU-native rebuild of FrameHandlerBase/FrameHandlerMono
+(reference: src/frame_handler_base.cpp, src/frame_handler_mono.cpp).
+Host Python drives the stages; every numeric stage is one jitted batched op:
+
+  addImage (frame_handler_mono.cpp:144-221)
+    FIRST  -> detect features, set keyframe            (:223-235)
+    SECOND -> KLT + homography bootstrap               (:237-261)
+    DEFAULT-> sparse align -> reproject -> pose opt
+              -> structure opt -> KF decision          (:263-406)
+    RELOC  -> align against closest keyframe           (:408-436)
+
+The depth filter runs synchronously after each frame (the reference uses a
+mapping thread + queue, depth_filter.cpp:98-149; one batched dispatch per
+frame achieves the same overlap on-device without threads — SURVEY §2.3).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from plsvo_tpu import lie
+from plsvo_tpu.camera import PinholeCamera
+from plsvo_tpu.config import Config
+from plsvo_tpu.image import build_pyramid
+from plsvo_tpu.ops import depth_filter as df
+from plsvo_tpu.ops import detection, homography
+from plsvo_tpu.ops import klt as klt_ops
+from plsvo_tpu.ops import lines as line_ops
+from plsvo_tpu.ops import pose_opt, sparse_align, struct_opt
+from plsvo_tpu.pipeline.state import (
+    FrameState, MapState, ST_CANDIDATE, ST_DELETED, ST_GOOD, ST_UNKNOWN)
+from plsvo_tpu.pipeline import reprojector
+
+STAGE_PAUSED = "paused"
+STAGE_FIRST = "first"
+STAGE_SECOND = "second"
+STAGE_DEFAULT = "default"
+STAGE_RELOCALIZING = "relocalizing"
+
+QUALITY_GOOD = "good"
+QUALITY_INSUFFICIENT = "insufficient"
+QUALITY_BAD = "bad"
+
+
+@dataclass
+class FrameResult:
+    frame_id: int
+    stage: str
+    quality: str
+    n_pt_matches: int
+    n_seg_matches: int
+    is_keyframe: bool
+    R_f_w: np.ndarray
+    t_f_w: np.ndarray
+
+
+class FrameHandlerMono:
+    """Single-camera pipeline (reference: FrameHandlerMono)."""
+
+    def __init__(self, cam: PinholeCamera, cfg: Config = None):
+        self.cam = cam
+        self.cfg = cfg or Config()
+        pl = self.cfg.pipeline
+        self.n_levels = max(pl.n_pyr_levels, pl.klt_max_level + 1)
+        self.stage = STAGE_FIRST
+        self.map = MapState(self.cfg, self.n_levels, (cam.height, cam.width))
+        self.frame_id = 0
+        self.last_frame: Optional[FrameState] = None
+        self.first_frame: Optional[FrameState] = None
+        self._first_uv = None
+        self.pt_seeds = df.empty_point_seeds(self.cfg.caps.max_seeds)
+        self.ln_seeds = df.empty_line_seeds(self.cfg.caps.max_seed_segs)
+        self.batch_counter = 0
+        self.n_relocalizations = 0
+        self.results: List[FrameResult] = []
+        self._fx = float(np.asarray(cam.fx))
+
+    # ------------------------------------------------------------------
+    def add_image(self, img, timestamp: float) -> FrameResult:
+        pyr = build_pyramid(jnp.asarray(img, jnp.float32), self.n_levels)
+        if self.stage == STAGE_FIRST:
+            res = self._process_first(pyr, timestamp)
+        elif self.stage == STAGE_SECOND:
+            res = self._process_second(pyr, timestamp)
+        elif self.stage == STAGE_DEFAULT:
+            res = self._process_frame(pyr, timestamp)
+        elif self.stage == STAGE_RELOCALIZING:
+            res = self._relocalize(pyr, timestamp)
+        else:
+            raise RuntimeError(f"stage {self.stage}")
+        self.frame_id += 1
+        self.results.append(res)
+        return res
+
+    # ------------------------------------------------------------------
+    def _detect_features(self, pyr):
+        """FAST grid corners + line segments with shared occupancy
+        (reference: initialization::detectFeatures, initialization.cpp:125-168
+        and FrameHandlerMono detector wiring, frame_handler_mono.cpp:63-137)."""
+        pl = self.cfg.pipeline
+        grid = detection.detect_fast_grid(
+            pyr[: pl.n_pyr_levels], cell_size=pl.grid_size,
+            score_threshold=pl.triang_min_corner_score)
+        segs = None
+        if pl.has_ls:
+            det = line_ops.detect_segments(pyr[0], n_peaks=64)
+            W, H = self.cam.width, self.cam.height
+            min_len = pl.lsd_min_length * min(W, H)
+            segs, _ = line_ops.dedup_segments_grid(
+                det, width=W, height=H, cell_size=pl.grid_size_segs,
+                max_segs=self.cfg.caps.max_segs, min_length=min_len)
+        return grid, segs
+
+    def _process_first(self, pyr, ts) -> FrameResult:
+        frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
+                                 np.eye(3, dtype=np.float32),
+                                 np.zeros(3, np.float32))
+        grid, segs = self._detect_features(pyr)
+        uv = np.asarray(grid.uv)
+        valid = np.asarray(grid.valid)
+        klt_targets = [uv[valid]]
+        if segs is not None:
+            sv = np.asarray(segs.valid)
+            sp, ep = np.asarray(segs.sp)[sv], np.asarray(segs.ep)[sv]
+            mid = 0.5 * (sp + ep)
+            # each segment contributes start/mid/end KLT targets
+            # (initialization.cpp:158-167)
+            klt_targets += [sp, mid, ep]
+        targets = np.concatenate(klt_targets, 0) if klt_targets else np.zeros((0, 2))
+        if len(targets) < self.cfg.pipeline.init_min_fts:  # initialization.cpp:44
+            return FrameResult(frame.frame_id, self.stage, QUALITY_INSUFFICIENT,
+                               0, 0, False, frame.R_f_w, frame.t_f_w)
+        cap = self.cfg.caps.max_klt_fts
+        self._first_uv = targets[:cap].astype(np.float32)
+        self.first_frame = frame
+        frame.is_keyframe = True
+        self.stage = STAGE_SECOND
+        return FrameResult(frame.frame_id, STAGE_FIRST, QUALITY_GOOD,
+                           len(self._first_uv), 0, True, frame.R_f_w, frame.t_f_w)
+
+    def _process_second(self, pyr, ts) -> FrameResult:
+        pl = self.cfg.pipeline
+        uv0 = self._first_uv
+        n = len(uv0)
+        uv_cur, ok, disp = klt_ops.track_klt(
+            self.first_frame.pyr, pyr, jnp.asarray(uv0), jnp.ones(n, bool))
+        ok = np.asarray(ok)
+        disp_med = float(np.median(np.asarray(disp)[ok])) if ok.any() else 0.0
+        fail = FrameResult(self.frame_id, self.stage, QUALITY_INSUFFICIENT, 0, 0,
+                           False, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        if ok.sum() < pl.init_min_tracked:
+            self._reset()
+            return fail
+        if disp_med < pl.init_min_disparity:
+            return fail  # wait for more parallax (initialization.cpp:62-69)
+        f_ref = np.asarray(self.cam.unproject(jnp.asarray(uv0)))
+        f_cur = np.asarray(self.cam.unproject(uv_cur))
+        hres = homography.homography_init(
+            f_ref, f_cur, ok, focal=self._fx,
+            reproj_thresh_px=pl.reproj_thresh, min_inliers=pl.init_min_inliers)
+        if not hres.ok or hres.inliers.sum() < pl.init_min_inliers:
+            self._reset()
+            return fail
+
+        # scale map so median triangulated depth = map_scale
+        # (initialization.cpp:84-91)
+        m = hres.inliers & (hres.depths_ref > 1e-6)
+        z_med = float(np.median(hres.depths_ref[m] * f_ref[m][:, 2]))
+        scale = pl.map_scale / z_med
+        R_cr = hres.R_cur_ref.astype(np.float32)
+        t_cr = (hres.t_cur_ref * scale).astype(np.float32)
+
+        frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr, R_cr, t_cr)
+        frame.is_keyframe = True
+
+        # install both keyframes and the triangulated points
+        kf0 = self.map.add_keyframe(self.first_frame)
+        uv_cur_np = np.asarray(uv_cur)
+        rows = np.where(m)[0][: self.cfg.caps.max_fts]
+        n_pts = 0
+        for i in rows:
+            pos_w = f_ref[i] * (hres.depths_ref[i] * scale)  # world = first frame
+            lm = self.map.new_point(pos_w, kf0, uv0[i], f_ref[i], 0)
+            if lm < 0:
+                break
+            # the second frame observes it too
+            frame.pt_uv[n_pts] = uv_cur_np[i]
+            frame.pt_f[n_pts] = f_cur[i]
+            frame.pt_level[n_pts] = 0
+            frame.pt_lm[n_pts] = lm
+            frame.pt_valid[n_pts] = True
+            # also register in kf0's table
+            self.map.kf_pt_uv[kf0, n_pts] = uv0[i]
+            self.map.kf_pt_f[kf0, n_pts] = f_ref[i]
+            self.map.kf_pt_lm[kf0, n_pts] = lm
+            n_pts += 1
+
+        self.map.add_keyframe(frame)
+        d_mean, d_min = self.map.scene_depth(frame)
+        self._init_seeds(frame, d_mean, max(d_min * 0.5, 1e-3))
+        self.last_frame = frame
+        self.stage = STAGE_DEFAULT
+        return FrameResult(frame.frame_id, STAGE_SECOND, QUALITY_GOOD,
+                           n_pts, 0, True, R_cr, t_cr)
+
+    # ------------------------------------------------------------------
+    def _align_inputs_from_frame(self, frame: FrameState):
+        """Build sparse-align tables from the last frame's features
+        (depths recomputed against landmark positions, as the reference does
+        at sparse_img_align.cpp:230-232)."""
+        caps = self.cfg.caps
+        center = frame.cam_center_w()
+        F = caps.max_fts
+        pv = frame.pt_valid & (frame.pt_lm >= 0)
+        lm = np.where(pv, frame.pt_lm, 0)
+        alive_lm = pv & (self.map.pt_status[lm] > 0)
+        depth = np.linalg.norm(self.map.pt_pos[lm] - center[None], axis=-1)
+        pts = sparse_align.AlignPoints(
+            xyz_ref=jnp.asarray(frame.pt_f * depth[:, None], jnp.float32),
+            uv_ref=jnp.asarray(frame.pt_uv, jnp.float32),
+            valid=jnp.asarray(alive_lm))
+
+        sv = frame.seg_valid & (frame.seg_lm >= 0)
+        slm = np.where(sv, frame.seg_lm, 0)
+        alive_s = sv & (self.map.ln_status[slm] > 0)
+        s_depth = np.linalg.norm(self.map.ln_spos[slm] - center[None], axis=-1)
+        e_depth = np.linalg.norm(self.map.ln_epos[slm] - center[None], axis=-1)
+        segs = sparse_align.make_align_segments(
+            jnp.asarray(frame.seg_suv), jnp.asarray(frame.seg_euv),
+            jnp.asarray(frame.seg_sf), jnp.asarray(frame.seg_ef),
+            jnp.asarray(s_depth, jnp.float32), jnp.asarray(e_depth, jnp.float32),
+            jnp.asarray(alive_s), n_samples=caps.n_line_samples,
+            fx=self.cam.fx, fy=self.cam.fy, cx=self.cam.cx, cy=self.cam.cy)
+        return pts, segs
+
+    def _process_frame(self, pyr, ts) -> FrameResult:
+        pl = self.cfg.pipeline
+        last = self.last_frame
+        frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
+                                 last.R_f_w.copy(), last.t_f_w.copy())
+
+        # --- 1. sparse image alignment (frame_handler_mono.cpp:266-274) ---
+        pts_in, segs_in = self._align_inputs_from_frame(last)
+        levels = tuple(range(pl.klt_max_level, pl.klt_min_level - 1, -1))
+        ares = sparse_align.sparse_img_align(
+            last.pyr, pyr, pts_in, segs_in,
+            jnp.eye(3), jnp.zeros(3),  # T_cur_from_last init = identity
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            levels=levels, n_iter=pl.img_align_n_iter,
+            patch_size=pl.img_align_patch_size)
+        R_cl, t_cl = np.asarray(ares.R), np.asarray(ares.t)
+        frame.R_f_w = (R_cl @ last.R_f_w).astype(np.float32)
+        frame.t_f_w = (R_cl @ last.t_f_w + t_cl).astype(np.float32)
+        # lines dropped by the photometric gate lose their landmark link
+        seg_alive = np.asarray(ares.seg_alive)
+        drop = last.seg_valid & ~seg_alive
+        last.seg_lm[drop] = -1
+
+        # --- 2. reproject map (frame_handler_mono.cpp:307-321) ---
+        n_pt, n_seg = self._reproject_and_fill(frame)
+        if n_pt < pl.quality_min_fts:
+            # tracking failed: keep last pose, go relocalize
+            # (frame_handler_mono.cpp:315-321)
+            frame.R_f_w, frame.t_f_w = last.R_f_w.copy(), last.t_f_w.copy()
+            self.stage = STAGE_RELOCALIZING
+            return FrameResult(frame.frame_id, STAGE_DEFAULT, QUALITY_INSUFFICIENT,
+                               n_pt, n_seg, False, frame.R_f_w, frame.t_f_w)
+
+        # --- 3. pose optimization (frame_handler_mono.cpp:327-336) ---
+        self._pose_optimize(frame)
+
+        # --- 4. structure optimization (frame_handler_base.cpp:202-237) ---
+        self._structure_optimize(frame)
+
+        # --- 5. quality + keyframe decision ---
+        quality = self._tracking_quality(frame, n_pt)
+        if quality == QUALITY_BAD:
+            frame.R_f_w, frame.t_f_w = last.R_f_w.copy(), last.t_f_w.copy()
+            self.stage = STAGE_RELOCALIZING
+            return FrameResult(frame.frame_id, STAGE_DEFAULT, QUALITY_BAD,
+                               n_pt, n_seg, False, frame.R_f_w, frame.t_f_w)
+
+        d_mean, d_min = self.map.scene_depth(frame)
+        need_kf = d_mean is not None and self._need_new_kf(frame) \
+            and quality == QUALITY_GOOD
+        if need_kf:
+            frame.is_keyframe = True
+            self._make_keyframe(frame, d_mean, d_min)
+        # --- 6. depth-filter update on every frame ---
+        self._update_seeds(frame)
+        self._harvest_seeds()
+
+        self.last_frame = frame
+        return FrameResult(frame.frame_id, STAGE_DEFAULT, quality, n_pt, n_seg,
+                           need_kf, frame.R_f_w, frame.t_f_w)
+
+    # ------------------------------------------------------------------
+    def _reproject_and_fill(self, frame: FrameState):
+        """Reproject landmarks, refine, fill the frame's feature tables and
+        update landmark quality counters (reprojector.cpp:286-308)."""
+        pl = self.cfg.pipeline
+        m = self.map
+        rres = reprojector.reproject_points(
+            jnp.asarray(m.pt_pos), jnp.asarray(m.pt_status),
+            jnp.asarray(m.pt_anchor_kf), jnp.asarray(m.pt_anchor_uv),
+            jnp.asarray(m.pt_anchor_f), jnp.asarray(m.pt_anchor_level),
+            jnp.asarray(m.kf_R), jnp.asarray(m.kf_t), m.kf_pyr, frame.pyr,
+            jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            cell_size=pl.grid_size, max_out=self.cfg.caps.max_fts)
+        sel = np.asarray(rres.selected)
+        matched = np.asarray(rres.matched)
+        lm = np.asarray(rres.lm_idx)
+        uv = np.asarray(rres.uv)
+        level = np.asarray(rres.level)
+
+        # quality counters + deletion rules (reprojector.cpp:292-308,352-370)
+        succ = lm[matched]
+        fail = lm[sel & ~matched]
+        m.pt_n_succ[succ] += 1
+        m.pt_n_fail[fail] += 1
+        cand_dead = (m.pt_status == ST_CANDIDATE) & (m.pt_n_fail > 30)
+        unk_dead = (m.pt_status == ST_UNKNOWN) & (m.pt_n_fail > 15)
+        m.pt_status[cand_dead | unk_dead] = ST_DELETED
+        promote = (m.pt_status == ST_UNKNOWN) & (m.pt_n_succ > 10)
+        m.pt_status[promote] = ST_GOOD
+
+        # fill frame table with successful matches
+        n = 0
+        f_all = np.asarray(self.cam.unproject(jnp.asarray(uv)))
+        for i in np.where(matched)[0]:
+            if m.pt_status[lm[i]] == ST_DELETED:
+                continue
+            frame.pt_uv[n] = uv[i]
+            frame.pt_f[n] = f_all[i]
+            frame.pt_level[n] = level[i]
+            frame.pt_lm[n] = lm[i]
+            frame.pt_valid[n] = True
+            n += 1
+        n_pt = n
+
+        n_seg = 0
+        if pl.has_ls:
+            sres = reprojector.reproject_segments(
+                jnp.asarray(m.ln_spos), jnp.asarray(m.ln_epos),
+                jnp.asarray(m.ln_status), jnp.asarray(m.ln_anchor_kf),
+                jnp.asarray(m.ln_anchor_suv), jnp.asarray(m.ln_anchor_euv),
+                jnp.asarray(m.ln_anchor_sf), jnp.asarray(m.ln_anchor_ef),
+                jnp.asarray(m.ln_anchor_level),
+                jnp.asarray(m.kf_R), jnp.asarray(m.kf_t), m.kf_pyr, frame.pyr,
+                jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                cell_size=pl.grid_size_segs, max_out=self.cfg.caps.max_segs)
+            ssel = np.asarray(sres.selected)
+            smat = np.asarray(sres.matched)
+            slm = np.asarray(sres.lm_idx)
+            m.ln_n_succ[slm[smat]] += 1
+            m.ln_n_fail[slm[ssel & ~smat]] += 1
+            c_dead = (m.ln_status == ST_CANDIDATE) & (m.ln_n_fail > 30)
+            u_dead = (m.ln_status == ST_UNKNOWN) & (m.ln_n_fail > 15)
+            m.ln_status[c_dead | u_dead] = ST_DELETED
+            m.ln_status[(m.ln_status == ST_UNKNOWN) & (m.ln_n_succ > 10)] = ST_GOOD
+
+            s_uv = np.asarray(sres.s_uv)
+            e_uv = np.asarray(sres.e_uv)
+            sf_all = np.asarray(self.cam.unproject(jnp.asarray(s_uv)))
+            ef_all = np.asarray(self.cam.unproject(jnp.asarray(e_uv)))
+            line_c = np.asarray(pose_opt.line_coeffs_from_bearings(
+                jnp.asarray(sf_all), jnp.asarray(ef_all)))
+            k = 0
+            for i in np.where(smat)[0]:
+                if m.ln_status[slm[i]] == ST_DELETED:
+                    continue
+                frame.seg_suv[k] = s_uv[i]
+                frame.seg_euv[k] = e_uv[i]
+                frame.seg_sf[k] = sf_all[i]
+                frame.seg_ef[k] = ef_all[i]
+                frame.seg_line[k] = line_c[i]
+                frame.seg_level[k] = np.asarray(sres.level)[i]
+                frame.seg_lm[k] = slm[i]
+                frame.seg_valid[k] = True
+                k += 1
+            n_seg = k
+        return n_pt, n_seg
+
+    def _pose_optimize(self, frame: FrameState):
+        pl = self.cfg.pipeline
+        m = self.map
+        lm = np.where(frame.pt_valid, frame.pt_lm, 0)
+        slm = np.where(frame.seg_valid, frame.seg_lm, 0)
+        inp = pose_opt.PoseOptInputs(
+            pt_f=jnp.asarray(frame.pt_f), pt_level=jnp.asarray(frame.pt_level),
+            pt_pos_w=jnp.asarray(m.pt_pos[lm]),
+            pt_valid=jnp.asarray(frame.pt_valid),
+            seg_line=jnp.asarray(frame.seg_line),
+            seg_level=jnp.asarray(frame.seg_level),
+            seg_spos_w=jnp.asarray(m.ln_spos[slm]),
+            seg_epos_w=jnp.asarray(m.ln_epos[slm]),
+            seg_valid=jnp.asarray(frame.seg_valid))
+        res = pose_opt.optimize_pose(
+            inp, jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
+            self.cam.fx, n_iter=pl.poseoptim_num_iter,
+            reproj_thresh=pl.poseoptim_thresh)
+        frame.R_f_w = np.asarray(lie.reorthonormalize(res.R), np.float32)
+        frame.t_f_w = np.asarray(res.t, np.float32)
+        frame.cov = np.asarray(res.cov)
+        # outliers lose their landmark link (pose_optimizer.cpp:201-242)
+        pt_out = frame.pt_valid & ~np.asarray(res.pt_inlier)
+        frame.pt_valid[pt_out] = False
+        seg_out = frame.seg_valid & ~np.asarray(res.seg_inlier)
+        frame.seg_valid[seg_out] = False
+
+    def _structure_optimize(self, frame: FrameState):
+        pl = self.cfg.pipeline
+        m = self.map
+        # pick the least-recently-optimized landmarks observed in this frame
+        lm_ids = frame.pt_lm[frame.pt_valid & (frame.pt_lm >= 0)]
+        lm_ids = np.unique(lm_ids)
+        if len(lm_ids):
+            order = np.argsort(m.pt_last_optim[lm_ids])
+            sel = lm_ids[order[: pl.structureoptim_max_pts]]
+            obs = self._gather_pt_obs(sel)
+            pos, improved = struct_opt.optimize_points(
+                jnp.asarray(m.pt_pos[sel]), obs,
+                jnp.ones(len(sel), bool), n_iter=pl.structureoptim_num_iter)
+            m.pt_pos[sel] = np.asarray(pos)
+            m.pt_last_optim[sel] = frame.frame_id
+
+        sl_ids = frame.seg_lm[frame.seg_valid & (frame.seg_lm >= 0)]
+        sl_ids = np.unique(sl_ids)
+        if len(sl_ids):
+            order = np.argsort(m.ln_last_optim[sl_ids])
+            sel = sl_ids[order[: pl.structureoptim_max_segs]]
+            s_obs = self._gather_ln_obs(sel, start=True)
+            e_obs = self._gather_ln_obs(sel, start=False)
+            sp, ep, _, _ = struct_opt.optimize_segments(
+                jnp.asarray(m.ln_spos[sel]), jnp.asarray(m.ln_epos[sel]),
+                s_obs, e_obs, jnp.ones(len(sel), bool),
+                n_iter=pl.structureoptim_num_iter_segs)
+            m.ln_spos[sel] = np.asarray(sp)
+            m.ln_epos[sel] = np.asarray(ep)
+            m.ln_last_optim[sel] = frame.frame_id
+
+    def _gather_pt_obs(self, rows: np.ndarray) -> struct_opt.StructObs:
+        m = self.map
+        kf = m.pt_obs_kf[rows]  # (L,O)
+        kfc = np.maximum(kf, 0)
+        return struct_opt.StructObs(
+            R_f_w=jnp.asarray(m.kf_R[kfc]), t_f_w=jnp.asarray(m.kf_t[kfc]),
+            f_obs=jnp.asarray(m.pt_obs_f[rows]),
+            valid=jnp.asarray((kf >= 0) & m.kf_occupied[kfc]))
+
+    def _gather_ln_obs(self, rows: np.ndarray, start: bool) -> struct_opt.StructObs:
+        m = self.map
+        kf = m.ln_obs_kf[rows]
+        kfc = np.maximum(kf, 0)
+        return struct_opt.StructObs(
+            R_f_w=jnp.asarray(m.kf_R[kfc]), t_f_w=jnp.asarray(m.kf_t[kfc]),
+            f_obs=jnp.asarray(m.ln_obs_sf[rows] if start else m.ln_obs_ef[rows]),
+            valid=jnp.asarray((kf >= 0) & m.kf_occupied[kfc]))
+
+    # ------------------------------------------------------------------
+    def _tracking_quality(self, frame: FrameState, n_matches: int) -> str:
+        """frame_handler_base.cpp:173-190."""
+        pl = self.cfg.pipeline
+        if n_matches < pl.quality_min_fts:
+            return QUALITY_INSUFFICIENT
+        last_n = self.results[-1].n_pt_matches if self.results else n_matches
+        if last_n - n_matches > pl.quality_max_drop_fts:
+            return QUALITY_BAD
+        return QUALITY_GOOD
+
+    def _need_new_kf(self, frame: FrameState) -> bool:
+        """frame_handler_mono.cpp:475-499: no new KF if any keyframe is
+        within kfselect_mindist_t AND kfselect_mindist_r."""
+        pl = self.cfg.pipeline
+        for k in np.where(self.map.kf_occupied)[0]:
+            R_rel, t_rel = lie.compose(
+                *lie.inverse(jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w)),
+                jnp.asarray(self.map.kf_R[k]), jnp.asarray(self.map.kf_t[k]))
+            xi = np.asarray(lie.se3_log(R_rel, t_rel))
+            dt = float(np.linalg.norm(xi[:3]))
+            dr = float(np.linalg.norm(xi[3:])) * 180.0 / math.pi
+            if dt < pl.kfselect_mindist_t and dr < pl.kfselect_mindist_r:
+                return False
+        return True
+
+    def _make_keyframe(self, frame: FrameState, d_mean, d_min):
+        """Keyframe path (frame_handler_mono.cpp:358-402): promote candidate
+        landmarks observed here, install KF, spawn new seeds, evict if over
+        the KF limit."""
+        m = self.map
+        # candidates observed in this frame become UNKNOWN
+        # (MapPointCandidates promotion, map.cpp:292-309)
+        lm = frame.pt_lm[frame.pt_valid & (frame.pt_lm >= 0)]
+        cand = lm[m.pt_status[lm] == ST_CANDIDATE]
+        m.pt_status[cand] = ST_UNKNOWN
+        sl = frame.seg_lm[frame.seg_valid & (frame.seg_lm >= 0)]
+        scand = sl[m.ln_status[sl] == ST_CANDIDATE]
+        m.ln_status[scand] = ST_UNKNOWN
+
+        # eviction if at capacity (maxNKfs, frame_handler_mono.cpp:394-399)
+        max_kfs = self.cfg.pipeline.max_n_kfs or self.cfg.caps.max_kfs
+        max_kfs = min(max_kfs, self.cfg.caps.max_kfs)
+        if m.n_keyframes() >= max_kfs:
+            slot = m.furthest_kf_slot(frame.cam_center_w())
+            if slot is not None:
+                m.remove_keyframe(slot)
+        m.add_keyframe(frame)
+        self.batch_counter += 1
+        self._init_seeds(frame, d_mean, max(d_min * 0.1, 1e-3))
+
+    # ------------------------------------------------------------------
+    def _init_seeds(self, frame: FrameState, d_mean, d_min):
+        """Spawn seeds in grid cells not already holding a feature
+        (reference: DepthFilter::initializeSeeds, depth_filter.cpp:151-197)."""
+        if d_mean is None:
+            return
+        pl = self.cfg.pipeline
+        kf_slot = int(np.where(self.map.kf_frame_id == frame.frame_id)[0][0])
+        occ_uv = np.concatenate([
+            frame.pt_uv[frame.pt_valid],
+            frame.seg_suv[frame.seg_valid], frame.seg_euv[frame.seg_valid]], 0)
+        occupied = detection.occupancy_from_positions(
+            jnp.asarray(occ_uv if len(occ_uv) else np.zeros((1, 2), np.float32)),
+            jnp.asarray(np.ones(max(len(occ_uv), 1), bool) if len(occ_uv) else np.zeros(1, bool)),
+            self.cam.width, self.cam.height, pl.grid_size)
+        grid, segs = self._detect_features(frame.pyr)
+        valid = np.asarray(grid.valid) & ~np.asarray(occupied)
+        uv = np.asarray(grid.uv)[valid]
+        lvl = np.asarray(grid.level)[valid]
+        f = np.asarray(self.cam.unproject(jnp.asarray(uv))) if len(uv) else np.zeros((0, 3))
+
+        mu, sigma2, z_range = df.seed_init_params(d_mean, d_min)
+        seeds = self.pt_seeds
+        alive = np.asarray(seeds.alive)
+        free = np.where(~alive)[0][: len(uv)]
+        if len(free):
+            idx = jnp.asarray(free)
+            k = len(free)
+            seeds = seeds._replace(
+                kf_idx=seeds.kf_idx.at[idx].set(kf_slot),
+                uv=seeds.uv.at[idx].set(jnp.asarray(uv[:k], jnp.float32)),
+                f=seeds.f.at[idx].set(jnp.asarray(f[:k], jnp.float32)),
+                level=seeds.level.at[idx].set(jnp.asarray(lvl[:k], jnp.int32)),
+                mu=seeds.mu.at[idx].set(mu),
+                sigma2=seeds.sigma2.at[idx].set(sigma2),
+                z_range=seeds.z_range.at[idx].set(z_range),
+                a=seeds.a.at[idx].set(10.0), b=seeds.b.at[idx].set(10.0),
+                batch_id=seeds.batch_id.at[idx].set(self.batch_counter),
+                alive=seeds.alive.at[idx].set(True))
+            self.pt_seeds = seeds
+
+        if segs is not None and self.cfg.pipeline.has_ls:
+            sv = np.asarray(segs.valid)
+            sp = np.asarray(segs.sp)[sv]
+            ep = np.asarray(segs.ep)[sv]
+            lseeds = self.ln_seeds
+            lfree = np.where(~np.asarray(lseeds.alive))[0][: len(sp)]
+            if len(lfree):
+                k = len(lfree)
+                idx = jnp.asarray(lfree)
+                sf = np.asarray(self.cam.unproject(jnp.asarray(sp[:k])))
+                ef = np.asarray(self.cam.unproject(jnp.asarray(ep[:k])))
+                lseeds = lseeds._replace(
+                    kf_idx=lseeds.kf_idx.at[idx].set(kf_slot),
+                    s_uv=lseeds.s_uv.at[idx].set(jnp.asarray(sp[:k], jnp.float32)),
+                    e_uv=lseeds.e_uv.at[idx].set(jnp.asarray(ep[:k], jnp.float32)),
+                    sf=lseeds.sf.at[idx].set(jnp.asarray(sf, jnp.float32)),
+                    ef=lseeds.ef.at[idx].set(jnp.asarray(ef, jnp.float32)),
+                    level=lseeds.level.at[idx].set(0),
+                    mu_s=lseeds.mu_s.at[idx].set(mu),
+                    sigma2_s=lseeds.sigma2_s.at[idx].set(sigma2),
+                    z_range_s=lseeds.z_range_s.at[idx].set(z_range),
+                    mu_e=lseeds.mu_e.at[idx].set(mu),
+                    sigma2_e=lseeds.sigma2_e.at[idx].set(sigma2),
+                    z_range_e=lseeds.z_range_e.at[idx].set(z_range),
+                    a=lseeds.a.at[idx].set(10.0), b=lseeds.b.at[idx].set(10.0),
+                    batch_id=lseeds.batch_id.at[idx].set(self.batch_counter),
+                    alive=lseeds.alive.at[idx].set(True))
+                self.ln_seeds = lseeds
+
+    def _update_seeds(self, frame: FrameState):
+        """Per-frame batched seed update — the mapping-thread analogue."""
+        pl = self.cfg.pipeline
+        m = self.map
+        # keyframe slots hold T_f_w; seeds need cam->world: invert
+        R_w = np.swapaxes(m.kf_R, 1, 2)
+        t_w = -np.einsum("kji,kj->ki", m.kf_R, m.kf_t)
+        R_w_cur = frame.R_f_w.T
+        t_w_cur = -frame.R_f_w.T @ frame.t_f_w
+        res = df.update_point_seeds(
+            self.pt_seeds, jnp.asarray(R_w), jnp.asarray(t_w), m.kf_pyr,
+            frame.pyr, jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            jnp.asarray(self.batch_counter, jnp.int32),
+            max_seed_kfs=pl.max_seed_kfs,
+            sigma_conv_factor=pl.seed_convergence_sigma2_thresh)
+        self.pt_seeds = res.seeds
+        self._pt_converged = (np.asarray(res.converged),
+                              np.asarray(res.depth_converged))
+        if pl.has_ls:
+            lres = df.update_line_seeds(
+                self.ln_seeds, jnp.asarray(R_w), jnp.asarray(t_w), m.kf_pyr,
+                frame.pyr, jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                jnp.asarray(self.batch_counter, jnp.int32),
+                max_seed_kfs=pl.max_seed_kfs,
+                sigma_conv_factor=pl.seed_convergence_sigma2_thresh)
+            self.ln_seeds = lres.seeds
+            self._ln_converged = (np.asarray(lres.converged),
+                                  np.asarray(lres.depth_s), np.asarray(lres.depth_e))
+        else:
+            self._ln_converged = None
+
+    def _harvest_seeds(self):
+        """Converged seeds become CANDIDATE landmarks
+        (depth_filter.cpp:333-355 + MapPointCandidates, map.cpp:285-309)."""
+        m = self.map
+        conv, depth = self._pt_converged
+        s = self.pt_seeds
+        kf_idx = np.asarray(s.kf_idx)
+        uv = np.asarray(s.uv)
+        f = np.asarray(s.f)
+        lvl = np.asarray(s.level)
+        for i in np.where(conv)[0]:
+            k = kf_idx[i]
+            if not m.kf_occupied[k]:
+                continue
+            # world position: T_w_kf * (f * depth)
+            Rk, tk = m.kf_R[k], m.kf_t[k]
+            pos_w = Rk.T @ (f[i] * depth[i] - tk)
+            m.new_point(pos_w, int(k), uv[i], f[i], int(lvl[i]),
+                        status=ST_CANDIDATE)
+        if self._ln_converged is not None:
+            lconv, ds, de = self._ln_converged
+            ls = self.ln_seeds
+            lkf = np.asarray(ls.kf_idx)
+            for i in np.where(lconv)[0]:
+                k = lkf[i]
+                if not m.kf_occupied[k]:
+                    continue
+                Rk, tk = m.kf_R[k], m.kf_t[k]
+                sfi = np.asarray(ls.sf)[i]
+                efi = np.asarray(ls.ef)[i]
+                spos = Rk.T @ (sfi * ds[i] - tk)
+                epos = Rk.T @ (efi * de[i] - tk)
+                m.new_line(spos, epos, int(k),
+                           np.asarray(ls.s_uv)[i], np.asarray(ls.e_uv)[i],
+                           sfi, efi, int(np.asarray(ls.level)[i]),
+                           status=ST_CANDIDATE)
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, pyr, ts) -> FrameResult:
+        """frame_handler_mono.cpp:408-436: align against the closest KF."""
+        self.n_relocalizations += 1
+        frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
+                                 self.last_frame.R_f_w.copy(),
+                                 self.last_frame.t_f_w.copy())
+        slot = self.map.closest_kf_slot(self.last_frame.cam_center_w())
+        if slot is None:
+            self._reset()
+            return FrameResult(frame.frame_id, STAGE_RELOCALIZING,
+                               QUALITY_INSUFFICIENT, 0, 0, False,
+                               frame.R_f_w, frame.t_f_w)
+        # build a pseudo frame from the keyframe tables
+        kf_frame = self._frame_from_kf(slot, ts)
+        pts_in, segs_in = self._align_inputs_from_frame(kf_frame)
+        ares = sparse_align.sparse_img_align(
+            kf_frame.pyr, pyr, pts_in, segs_in, jnp.eye(3), jnp.zeros(3),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            levels=tuple(range(self.cfg.pipeline.klt_max_level,
+                               self.cfg.pipeline.klt_min_level - 1, -1)),
+            n_iter=self.cfg.pipeline.img_align_n_iter)
+        if int(ares.n_tracked_pts) > 30:
+            R_ck, t_ck = np.asarray(ares.R), np.asarray(ares.t)
+            frame.R_f_w = (R_ck @ kf_frame.R_f_w).astype(np.float32)
+            frame.t_f_w = (R_ck @ kf_frame.t_f_w + t_ck).astype(np.float32)
+            self.last_frame = kf_frame
+            self.stage = STAGE_DEFAULT
+            res = self._process_frame(pyr, ts)
+            return FrameResult(res.frame_id, STAGE_RELOCALIZING, res.quality,
+                               res.n_pt_matches, res.n_seg_matches,
+                               res.is_keyframe, res.R_f_w, res.t_f_w)
+        return FrameResult(frame.frame_id, STAGE_RELOCALIZING,
+                           QUALITY_INSUFFICIENT, 0, 0, False,
+                           frame.R_f_w, frame.t_f_w)
+
+    def _frame_from_kf(self, slot: int, ts) -> FrameState:
+        m = self.map
+        fr = FrameState.empty(self.cfg, int(m.kf_frame_id[slot]), ts,
+                              [p[slot] for p in m.kf_pyr],
+                              m.kf_R[slot], m.kf_t[slot])
+        fr.pt_uv = m.kf_pt_uv[slot].copy()
+        fr.pt_f = m.kf_pt_f[slot].copy()
+        fr.pt_level = m.kf_pt_level[slot].copy()
+        fr.pt_lm = m.kf_pt_lm[slot].copy()
+        fr.pt_valid = m.kf_pt_lm[slot] >= 0
+        fr.seg_suv = m.kf_seg_suv[slot].copy()
+        fr.seg_euv = m.kf_seg_euv[slot].copy()
+        fr.seg_sf = m.kf_seg_sf[slot].copy()
+        fr.seg_ef = m.kf_seg_ef[slot].copy()
+        fr.seg_level = m.kf_seg_level[slot].copy()
+        fr.seg_lm = m.kf_seg_lm[slot].copy()
+        fr.seg_valid = m.kf_seg_lm[slot] >= 0
+        fr.is_keyframe = True
+        return fr
+
+    def _reset(self):
+        self.stage = STAGE_FIRST
+        self.map = MapState(self.cfg, self.n_levels,
+                            (self.cam.height, self.cam.width))
+        self.pt_seeds = df.empty_point_seeds(self.cfg.caps.max_seeds)
+        self.ln_seeds = df.empty_line_seeds(self.cfg.caps.max_seed_segs)
+        self.last_frame = None
+        self.first_frame = None
+        self.batch_counter = 0

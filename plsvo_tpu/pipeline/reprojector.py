@@ -1,0 +1,203 @@
+"""Reprojector: map -> frame candidate selection + batched refinement.
+
+TPU-native rebuild of the reference Reprojector (src/reprojector.cpp):
+project landmarks into the new frame, deduplicate per grid cell keeping the
+best-quality candidate (GOOD > UNKNOWN > CANDIDATE, reprojector.cpp:219-234),
+refine all selected candidates with one batched find_match_direct
+(vs the reference's per-cell Matcher::findMatchDirect loop,
+reprojector.cpp:236-276), and report per-landmark success/failure for the
+quality counters (reprojector.cpp:292-308).
+
+Divergence (by design): the reference gathers candidates from the features
+of the 10 closest keyframes + the candidate lists; with fixed landmark
+tables it is simpler and cheaper to project ALL active landmarks — the
+per-cell dedup yields the same per-frame working set.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from plsvo_tpu.ops import matcher as matcher_ops
+from plsvo_tpu.ops.detection import grid_cells
+
+
+def masked_compact(mask: jnp.ndarray, max_out: int):
+    """Stable-compact indices of True entries to the front.
+    Returns (src_idx (max_out,), valid (max_out,))."""
+    n = mask.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask, rank, n)
+    inv = jnp.full((n + 1,), n, jnp.int32)
+    inv = inv.at[dest].set(jnp.arange(n, dtype=jnp.int32))
+    src = inv[:max_out]
+    ok = src < n
+    return jnp.where(ok, src, 0), ok
+
+
+class ReprojResult(NamedTuple):
+    lm_idx: jnp.ndarray  # (M,) landmark rows selected (garbage where ~sel)
+    selected: jnp.ndarray  # (M,) a candidate was attempted
+    uv: jnp.ndarray  # (M,2) refined level-0 px
+    level: jnp.ndarray  # (M,) search level used
+    matched: jnp.ndarray  # (M,) refinement succeeded
+    n_attempts: jnp.ndarray  # () int32
+    n_matches: jnp.ndarray  # ()
+
+
+@partial(jax.jit, static_argnames=("cell_size", "max_out", "patch_size"))
+def reproject_points(
+    pt_pos: jnp.ndarray,  # (P,3)
+    pt_status: jnp.ndarray,  # (P,) int8
+    pt_anchor_kf: jnp.ndarray,  # (P,)
+    pt_anchor_uv: jnp.ndarray,  # (P,2)
+    pt_anchor_f: jnp.ndarray,  # (P,3)
+    pt_anchor_level: jnp.ndarray,  # (P,)
+    kf_R: jnp.ndarray,  # (K,3,3) T_f_w
+    kf_t: jnp.ndarray,  # (K,3)
+    kf_pyr_stack: Sequence[jnp.ndarray],
+    cur_pyr: Sequence[jnp.ndarray],
+    R_cur: jnp.ndarray, t_cur: jnp.ndarray,  # T_f_w of current frame (prior)
+    fx, fy, cx, cy,
+    *,
+    cell_size: int = 25,
+    max_out: int = 192,
+    patch_size: int = 8,
+) -> ReprojResult:
+    P = pt_pos.shape[0]
+    H, W = cur_pyr[0].shape
+    nx, ny, n_cells = grid_cells(W, H, cell_size)
+
+    # ---- project all active landmarks ----
+    xyz = jnp.einsum("ij,pj->pi", R_cur, pt_pos) + t_cur
+    z_ok = xyz[:, 2] > 1e-3
+    zs = jnp.where(z_ok, xyz[:, 2], 1.0)
+    uv = jnp.stack([fx * xyz[:, 0] / zs + cx, fy * xyz[:, 1] / zs + cy], -1)
+    margin = patch_size
+    in_img = ((uv[:, 0] > margin) & (uv[:, 0] < W - margin)
+              & (uv[:, 1] > margin) & (uv[:, 1] < H - margin))
+    active = (pt_status > 0) & z_ok & in_img
+
+    # ---- per-cell best-quality winner ----
+    cell = (jnp.clip((uv[:, 1] / cell_size).astype(jnp.int32), 0, ny - 1) * nx
+            + jnp.clip((uv[:, 0] / cell_size).astype(jnp.int32), 0, nx - 1))
+    # key: status first, then lower row idx wins (deterministic)
+    key = jnp.where(active, pt_status.astype(jnp.int32) * (P + 1) + (P - jnp.arange(P)), 0)
+    cell_best = jax.ops.segment_max(key, cell, num_segments=n_cells)
+    is_winner = active & (key == cell_best[cell]) & (key > 0)
+
+    src, sel = masked_compact(is_winner, max_out)
+    lm = src  # landmark rows
+
+    # ---- batched refinement (find_match_direct) ----
+    akf = pt_anchor_kf[lm]
+    akf_c = jnp.maximum(akf, 0)
+    R_a = kf_R[akf_c]  # (M,3,3) T_f_w of anchor
+    t_a = kf_t[akf_c]
+    # T_cur_anchor = T_cur_w * (T_anchor_w)^-1
+    R_ca = jnp.einsum("ij,mkj->mik", R_cur, R_a)  # R_cur @ R_a^T
+    t_ca = t_cur[None] - jnp.einsum("mij,mj->mi", R_ca, t_a)
+    # depth along the anchor bearing: |pos - anchor cam center|
+    anchor_center = -jnp.einsum("mji,mj->mi", R_a, t_a)
+    depth_ref = jnp.linalg.norm(pt_pos[lm] - anchor_center, axis=-1)
+
+    res = matcher_ops.find_match_direct(
+        kf_pyr_stack, cur_pyr,
+        akf_c, pt_anchor_uv[lm], pt_anchor_f[lm], depth_ref,
+        pt_anchor_level[lm],
+        R_ca, t_ca,
+        uv[lm], sel & (akf >= 0),
+        fx, fy, cx, cy,
+        patch_size=patch_size, max_level=len(cur_pyr) - 1)
+
+    return ReprojResult(
+        lm_idx=lm, selected=sel, uv=res.uv, level=res.level,
+        matched=res.ok & sel,
+        n_attempts=jnp.sum(sel).astype(jnp.int32),
+        n_matches=jnp.sum(res.ok & sel).astype(jnp.int32))
+
+
+class ReprojSegResult(NamedTuple):
+    lm_idx: jnp.ndarray  # (M,)
+    selected: jnp.ndarray
+    s_uv: jnp.ndarray  # (M,2)
+    e_uv: jnp.ndarray
+    level: jnp.ndarray
+    matched: jnp.ndarray  # both endpoints refined
+    n_attempts: jnp.ndarray
+    n_matches: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cell_size", "max_out", "patch_size"))
+def reproject_segments(
+    ln_spos, ln_epos, ln_status,
+    ln_anchor_kf, ln_anchor_suv, ln_anchor_euv, ln_anchor_sf, ln_anchor_ef,
+    ln_anchor_level,
+    kf_R, kf_t, kf_pyr_stack, cur_pyr,
+    R_cur, t_cur, fx, fy, cx, cy,
+    *,
+    cell_size: int = 25,
+    max_out: int = 96,
+    patch_size: int = 8,
+) -> ReprojSegResult:
+    """Line landmarks: per-cell dedup on the midpoint cell, both endpoints
+    refined independently (reference: findMatchDirect(LineSeg),
+    matcher.cpp:232-275; grid insertion at both endpoint cells,
+    reprojector.cpp:405-423)."""
+    L = ln_spos.shape[0]
+    H, W = cur_pyr[0].shape
+    nx, ny, n_cells = grid_cells(W, H, cell_size)
+
+    def proj(pos):
+        xyz = jnp.einsum("ij,pj->pi", R_cur, pos) + t_cur
+        ok = xyz[:, 2] > 1e-3
+        zsafe = jnp.where(ok, xyz[:, 2], 1.0)
+        return jnp.stack([fx * xyz[:, 0] / zsafe + cx,
+                          fy * xyz[:, 1] / zsafe + cy], -1), ok
+
+    suv, s_ok = proj(ln_spos)
+    euv, e_ok = proj(ln_epos)
+    margin = patch_size
+
+    def in_img(uv):
+        return ((uv[:, 0] > margin) & (uv[:, 0] < W - margin)
+                & (uv[:, 1] > margin) & (uv[:, 1] < H - margin))
+
+    active = (ln_status > 0) & s_ok & e_ok & in_img(suv) & in_img(euv)
+    mid = 0.5 * (suv + euv)
+    cell = (jnp.clip((mid[:, 1] / cell_size).astype(jnp.int32), 0, ny - 1) * nx
+            + jnp.clip((mid[:, 0] / cell_size).astype(jnp.int32), 0, nx - 1))
+    key = jnp.where(active, ln_status.astype(jnp.int32) * (L + 1) + (L - jnp.arange(L)), 0)
+    cell_best = jax.ops.segment_max(key, cell, num_segments=n_cells)
+    is_winner = active & (key == cell_best[cell]) & (key > 0)
+    src, sel = masked_compact(is_winner, max_out)
+    lm = src
+
+    akf = ln_anchor_kf[lm]
+    akf_c = jnp.maximum(akf, 0)
+    R_a = kf_R[akf_c]
+    t_a = kf_t[akf_c]
+    R_ca = jnp.einsum("ij,mkj->mik", R_cur, R_a)
+    t_ca = t_cur[None] - jnp.einsum("mij,mj->mi", R_ca, t_a)
+    anchor_center = -jnp.einsum("mji,mj->mi", R_a, t_a)
+    s_depth = jnp.linalg.norm(ln_spos[lm] - anchor_center, axis=-1)
+    e_depth = jnp.linalg.norm(ln_epos[lm] - anchor_center, axis=-1)
+
+    valid0 = sel & (akf >= 0)
+    res_s = matcher_ops.find_match_direct(
+        kf_pyr_stack, cur_pyr, akf_c, ln_anchor_suv[lm], ln_anchor_sf[lm],
+        s_depth, ln_anchor_level[lm], R_ca, t_ca, suv[lm], valid0,
+        fx, fy, cx, cy, patch_size=patch_size, max_level=len(cur_pyr) - 1)
+    res_e = matcher_ops.find_match_direct(
+        kf_pyr_stack, cur_pyr, akf_c, ln_anchor_euv[lm], ln_anchor_ef[lm],
+        e_depth, ln_anchor_level[lm], R_ca, t_ca, euv[lm], valid0,
+        fx, fy, cx, cy, patch_size=patch_size, max_level=len(cur_pyr) - 1)
+    both = res_s.ok & res_e.ok & sel
+    return ReprojSegResult(
+        lm_idx=lm, selected=sel, s_uv=res_s.uv, e_uv=res_e.uv,
+        level=jnp.maximum(res_s.level, res_e.level), matched=both,
+        n_attempts=jnp.sum(sel).astype(jnp.int32),
+        n_matches=jnp.sum(both).astype(jnp.int32))

@@ -1,0 +1,330 @@
+"""Fixed-capacity SoA state for frames, keyframes, and landmarks.
+
+Replaces the reference's pointer graph — `Frame` with feature lists
+(include/plsvo/frame.h:65-66), `Point`/`LineSeg` landmarks with observation
+lists and back-references (include/plsvo/feature3D.h:62-73), and the
+mutex-guarded `Map`/candidate lists (include/plsvo/map.h) — with flat
+tables + masks (SURVEY §7.0). Bookkeeping lives on host in NumPy (small,
+control-flow heavy); images/pyramids live on device as JAX arrays.
+
+Landmark status lifecycle (feature3D.h:55-60):
+  0 = DELETED, 1 = CANDIDATE, 2 = UNKNOWN, 3 = GOOD
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from plsvo_tpu.config import Config
+
+ST_DELETED = 0
+ST_CANDIDATE = 1
+ST_UNKNOWN = 2
+ST_GOOD = 3
+
+
+@dataclass
+class FrameState:
+    """One processed frame (host container; pyramid is on device)."""
+
+    frame_id: int
+    timestamp: float
+    pyr: List[jnp.ndarray]
+    R_f_w: np.ndarray  # world -> frame (3,3)
+    t_f_w: np.ndarray  # (3,)
+    # point features, capacity F
+    pt_uv: np.ndarray  # (F,2) level-0 px
+    pt_f: np.ndarray  # (F,3) unit bearings
+    pt_level: np.ndarray  # (F,)
+    pt_lm: np.ndarray  # (F,) landmark row or -1
+    pt_valid: np.ndarray  # (F,)
+    # segment features, capacity G
+    seg_suv: np.ndarray  # (G,2)
+    seg_euv: np.ndarray
+    seg_sf: np.ndarray  # (G,3)
+    seg_ef: np.ndarray
+    seg_line: np.ndarray  # (G,3) observed 2D line coeffs
+    seg_level: np.ndarray
+    seg_lm: np.ndarray
+    seg_valid: np.ndarray
+    cov: np.ndarray = field(default_factory=lambda: np.eye(6, dtype=np.float32))
+    is_keyframe: bool = False
+
+    @classmethod
+    def empty(cls, cfg: Config, frame_id: int, timestamp: float,
+              pyr: List[jnp.ndarray], R: np.ndarray, t: np.ndarray):
+        F = cfg.caps.max_fts
+        G = cfg.caps.max_segs
+        return cls(
+            frame_id=frame_id, timestamp=timestamp, pyr=pyr,
+            R_f_w=R.astype(np.float32), t_f_w=t.astype(np.float32),
+            pt_uv=np.zeros((F, 2), np.float32), pt_f=np.zeros((F, 3), np.float32),
+            pt_level=np.zeros(F, np.int32), pt_lm=np.full(F, -1, np.int32),
+            pt_valid=np.zeros(F, bool),
+            seg_suv=np.zeros((G, 2), np.float32), seg_euv=np.zeros((G, 2), np.float32),
+            seg_sf=np.zeros((G, 3), np.float32), seg_ef=np.zeros((G, 3), np.float32),
+            seg_line=np.zeros((G, 3), np.float32), seg_level=np.zeros(G, np.int32),
+            seg_lm=np.full(G, -1, np.int32), seg_valid=np.zeros(G, bool),
+        )
+
+    def cam_center_w(self) -> np.ndarray:
+        """Camera position in world frame: -R^T t."""
+        return -self.R_f_w.T @ self.t_f_w
+
+    def n_pt(self) -> int:
+        return int((self.pt_valid & (self.pt_lm >= 0)).sum())
+
+    def n_seg(self) -> int:
+        return int((self.seg_valid & (self.seg_lm >= 0)).sum())
+
+
+@dataclass
+class MapState:
+    """Keyframes + landmark tables (reference: Map, src/map.cpp)."""
+
+    cfg: Config
+    n_levels: int
+    img_shape: tuple
+
+    def __post_init__(self):
+        caps = self.cfg.caps
+        K = caps.max_kfs
+        P = caps.max_points
+        L = caps.max_lines
+        O = caps.max_obs_per_landmark
+        F = caps.max_fts
+        G = caps.max_segs
+        H, W = self.img_shape
+        self.kf_occupied = np.zeros(K, bool)
+        self.kf_frame_id = np.full(K, -1, np.int64)
+        self.kf_R = np.tile(np.eye(3, dtype=np.float32)[None], (K, 1, 1))  # T_f_w
+        self.kf_t = np.zeros((K, 3), np.float32)
+        # device-side pyramid stacks, one array per level
+        self.kf_pyr: List[jnp.ndarray] = [
+            jnp.zeros((K, H >> l, W >> l), jnp.float32) for l in range(self.n_levels)
+        ]
+        # per-keyframe feature tables (for sparse-align refs & obs bookkeeping)
+        self.kf_pt_uv = np.zeros((K, F, 2), np.float32)
+        self.kf_pt_f = np.zeros((K, F, 3), np.float32)
+        self.kf_pt_level = np.zeros((K, F), np.int32)
+        self.kf_pt_lm = np.full((K, F), -1, np.int32)
+        self.kf_seg_suv = np.zeros((K, G, 2), np.float32)
+        self.kf_seg_euv = np.zeros((K, G, 2), np.float32)
+        self.kf_seg_sf = np.zeros((K, G, 3), np.float32)
+        self.kf_seg_ef = np.zeros((K, G, 3), np.float32)
+        self.kf_seg_level = np.zeros((K, G), np.int32)
+        self.kf_seg_lm = np.full((K, G), -1, np.int32)
+
+        # point landmarks
+        self.pt_pos = np.zeros((P, 3), np.float32)
+        self.pt_status = np.zeros(P, np.int8)
+        self.pt_n_succ = np.zeros(P, np.int32)
+        self.pt_n_fail = np.zeros(P, np.int32)
+        self.pt_last_optim = np.full(P, -1, np.int64)
+        self.pt_anchor_kf = np.full(P, -1, np.int32)
+        self.pt_anchor_uv = np.zeros((P, 2), np.float32)
+        self.pt_anchor_f = np.zeros((P, 3), np.float32)
+        self.pt_anchor_level = np.zeros(P, np.int32)
+        self.pt_obs_kf = np.full((P, O), -1, np.int32)
+        self.pt_obs_f = np.zeros((P, O, 3), np.float32)
+        self.pt_obs_ptr = np.zeros(P, np.int32)
+
+        # line-segment landmarks (endpoints)
+        self.ln_spos = np.zeros((L, 3), np.float32)
+        self.ln_epos = np.zeros((L, 3), np.float32)
+        self.ln_status = np.zeros(L, np.int8)
+        self.ln_n_succ = np.zeros(L, np.int32)
+        self.ln_n_fail = np.zeros(L, np.int32)
+        self.ln_last_optim = np.full(L, -1, np.int64)
+        self.ln_anchor_kf = np.full(L, -1, np.int32)
+        self.ln_anchor_suv = np.zeros((L, 2), np.float32)
+        self.ln_anchor_euv = np.zeros((L, 2), np.float32)
+        self.ln_anchor_sf = np.zeros((L, 3), np.float32)
+        self.ln_anchor_ef = np.zeros((L, 3), np.float32)
+        self.ln_anchor_level = np.zeros(L, np.int32)
+        self.ln_obs_kf = np.full((L, O), -1, np.int32)
+        self.ln_obs_sf = np.zeros((L, O, 3), np.float32)
+        self.ln_obs_ef = np.zeros((L, O, 3), np.float32)
+        self.ln_obs_ptr = np.zeros(L, np.int32)
+
+    # ---- keyframe management -------------------------------------------
+    def n_keyframes(self) -> int:
+        return int(self.kf_occupied.sum())
+
+    def free_kf_slot(self) -> Optional[int]:
+        free = np.where(~self.kf_occupied)[0]
+        return int(free[0]) if len(free) else None
+
+    def furthest_kf_slot(self, pos_w: np.ndarray) -> Optional[int]:
+        """Slot of the keyframe furthest from pos_w (map.cpp:195-214)."""
+        occ = np.where(self.kf_occupied)[0]
+        if len(occ) == 0:
+            return None
+        centers = np.stack([
+            -self.kf_R[k].T @ self.kf_t[k] for k in occ])
+        d = np.linalg.norm(centers - pos_w[None], axis=-1)
+        return int(occ[np.argmax(d)])
+
+    def closest_kf_slot(self, pos_w: np.ndarray) -> Optional[int]:
+        occ = np.where(self.kf_occupied)[0]
+        if len(occ) == 0:
+            return None
+        centers = np.stack([
+            -self.kf_R[k].T @ self.kf_t[k] for k in occ])
+        d = np.linalg.norm(centers - pos_w[None], axis=-1)
+        return int(occ[np.argmin(d)])
+
+    def add_keyframe(self, frame: FrameState) -> int:
+        """Install a frame into a keyframe slot (evict handled by caller)."""
+        slot = self.free_kf_slot()
+        assert slot is not None, "no free keyframe slot — evict first"
+        self.kf_occupied[slot] = True
+        self.kf_frame_id[slot] = frame.frame_id
+        self.kf_R[slot] = frame.R_f_w
+        self.kf_t[slot] = frame.t_f_w
+        for l in range(self.n_levels):
+            self.kf_pyr[l] = self.kf_pyr[l].at[slot].set(frame.pyr[l])
+        self.kf_pt_uv[slot] = frame.pt_uv
+        self.kf_pt_f[slot] = frame.pt_f
+        self.kf_pt_level[slot] = frame.pt_level
+        self.kf_pt_lm[slot] = np.where(frame.pt_valid, frame.pt_lm, -1)
+        self.kf_seg_suv[slot] = frame.seg_suv
+        self.kf_seg_euv[slot] = frame.seg_euv
+        self.kf_seg_sf[slot] = frame.seg_sf
+        self.kf_seg_ef[slot] = frame.seg_ef
+        self.kf_seg_level[slot] = frame.seg_level
+        self.kf_seg_lm[slot] = np.where(frame.seg_valid, frame.seg_lm, -1)
+
+        # register observations + refresh anchors to this (newest) keyframe
+        for i in np.where(frame.pt_valid & (frame.pt_lm >= 0))[0]:
+            lm = frame.pt_lm[i]
+            self._add_pt_obs(lm, slot, frame.pt_f[i])
+            self.pt_anchor_kf[lm] = slot
+            self.pt_anchor_uv[lm] = frame.pt_uv[i]
+            self.pt_anchor_f[lm] = frame.pt_f[i]
+            self.pt_anchor_level[lm] = frame.pt_level[i]
+        for i in np.where(frame.seg_valid & (frame.seg_lm >= 0))[0]:
+            lm = frame.seg_lm[i]
+            self._add_ln_obs(lm, slot, frame.seg_sf[i], frame.seg_ef[i])
+            self.ln_anchor_kf[lm] = slot
+            self.ln_anchor_suv[lm] = frame.seg_suv[i]
+            self.ln_anchor_euv[lm] = frame.seg_euv[i]
+            self.ln_anchor_sf[lm] = frame.seg_sf[i]
+            self.ln_anchor_ef[lm] = frame.seg_ef[i]
+            self.ln_anchor_level[lm] = frame.seg_level[i]
+        return slot
+
+    def remove_keyframe(self, slot: int):
+        """Evict a keyframe; landmarks anchored there are deleted
+        (the reference deletes landmarks that lose their refs,
+        map.cpp:82-114 — anchor loss is the lethal case here)."""
+        self.kf_occupied[slot] = False
+        self.kf_frame_id[slot] = -1
+        self.kf_pt_lm[slot] = -1
+        self.kf_seg_lm[slot] = -1
+        self.pt_status[self.pt_anchor_kf == slot] = ST_DELETED
+        self.ln_status[self.ln_anchor_kf == slot] = ST_DELETED
+        # invalidate obs slots referring to the removed keyframe
+        self.pt_obs_kf[self.pt_obs_kf == slot] = -1
+        self.ln_obs_kf[self.ln_obs_kf == slot] = -1
+
+    # ---- landmark management -------------------------------------------
+    def _add_pt_obs(self, lm: int, kf_slot: int, f: np.ndarray):
+        p = self.pt_obs_ptr[lm] % self.cfg.caps.max_obs_per_landmark
+        self.pt_obs_kf[lm, p] = kf_slot
+        self.pt_obs_f[lm, p] = f
+        self.pt_obs_ptr[lm] += 1
+
+    def _add_ln_obs(self, lm: int, kf_slot: int, sf: np.ndarray, ef: np.ndarray):
+        p = self.ln_obs_ptr[lm] % self.cfg.caps.max_obs_per_landmark
+        self.ln_obs_kf[lm, p] = kf_slot
+        self.ln_obs_sf[lm, p] = sf
+        self.ln_obs_ef[lm, p] = ef
+        self.ln_obs_ptr[lm] += 1
+
+    def alloc_points(self, n: int) -> np.ndarray:
+        """Return up to n free point rows (status DELETED)."""
+        free = np.where(self.pt_status == ST_DELETED)[0]
+        return free[:n]
+
+    def alloc_lines(self, n: int) -> np.ndarray:
+        free = np.where(self.ln_status == ST_DELETED)[0]
+        return free[:n]
+
+    def new_point(self, pos_w, kf_slot, uv, f, level, status=ST_UNKNOWN) -> int:
+        rows = self.alloc_points(1)
+        if len(rows) == 0:
+            return -1
+        r = int(rows[0])
+        self.pt_pos[r] = pos_w
+        self.pt_status[r] = status
+        self.pt_n_succ[r] = 0
+        self.pt_n_fail[r] = 0
+        self.pt_last_optim[r] = -1
+        self.pt_anchor_kf[r] = kf_slot
+        self.pt_anchor_uv[r] = uv
+        self.pt_anchor_f[r] = f
+        self.pt_anchor_level[r] = level
+        self.pt_obs_kf[r] = -1
+        self.pt_obs_ptr[r] = 0
+        self._add_pt_obs(r, kf_slot, f)
+        return r
+
+    def new_line(self, spos_w, epos_w, kf_slot, suv, euv, sf, ef, level,
+                 status=ST_UNKNOWN) -> int:
+        rows = self.alloc_lines(1)
+        if len(rows) == 0:
+            return -1
+        r = int(rows[0])
+        self.ln_spos[r] = spos_w
+        self.ln_epos[r] = epos_w
+        self.ln_status[r] = status
+        self.ln_n_succ[r] = 0
+        self.ln_n_fail[r] = 0
+        self.ln_last_optim[r] = -1
+        self.ln_anchor_kf[r] = kf_slot
+        self.ln_anchor_suv[r] = suv
+        self.ln_anchor_euv[r] = euv
+        self.ln_anchor_sf[r] = sf
+        self.ln_anchor_ef[r] = ef
+        self.ln_anchor_level[r] = level
+        self.ln_obs_kf[r] = -1
+        self.ln_obs_ptr[r] = 0
+        self._add_ln_obs(r, kf_slot, sf, ef)
+        return r
+
+    def scene_depth(self, frame: FrameState):
+        """Median + min depth of the frame's landmark observations
+        (reference: frame_utils::getSceneDepth, frame.cpp:182-217)."""
+        depths = []
+        R, t = frame.R_f_w, frame.t_f_w
+        for i in np.where(frame.pt_valid & (frame.pt_lm >= 0))[0]:
+            z = (R @ self.pt_pos[frame.pt_lm[i]] + t)[2]
+            if z > 0:
+                depths.append(z)
+        for i in np.where(frame.seg_valid & (frame.seg_lm >= 0))[0]:
+            lm = frame.seg_lm[i]
+            for pos in (self.ln_spos[lm], self.ln_epos[lm]):
+                z = (R @ pos + t)[2]
+                if z > 0:
+                    depths.append(z)
+        if not depths:
+            return None, None
+        d = np.asarray(depths)
+        return float(np.median(d)), float(d.min())
+
+    def transform(self, R: np.ndarray, t: np.ndarray, s: float):
+        """Global similarity transform of the whole map (map.cpp:228-257)."""
+        for k in np.where(self.kf_occupied)[0]:
+            # T_f_w' = T_f_w * [R,t,s]^-1 with scale folded into translation
+            Rk, tk = self.kf_R[k], self.kf_t[k]
+            self.kf_R[k] = Rk @ R.T
+            self.kf_t[k] = s * tk - Rk @ R.T @ t
+        act = self.pt_status > 0
+        self.pt_pos[act] = s * (self.pt_pos[act] @ R.T) + t
+        actl = self.ln_status > 0
+        self.ln_spos[actl] = s * (self.ln_spos[actl] @ R.T) + t
+        self.ln_epos[actl] = s * (self.ln_epos[actl] @ R.T) + t
