@@ -1,0 +1,296 @@
+"""Bundle adjustment over points AND line segments, with Schur complement —
+single-chip and sharded across a device mesh.
+
+The reference ships only a dead g2o point-BA (src/bundle_adjustment.cpp,
+never built: CMakeLists.txt:4,88-104; call sites guarded off,
+frame_handler_mono.cpp:38-40 — SURVEY §2 C16). This module makes BA real,
+adds line-segment endpoints as first-class landmarks (no g2o line edges
+existed), and scales it across devices (SURVEY §7.1 M9):
+
+- residuals: unit-plane reprojection of each landmark in each observing
+  keyframe, Huber-weighted (loba_robust_huber_width analogue)
+- landmark-marginalized Schur: per-landmark 3x3 inverses + pairwise
+  pose-pair contributions scattered into the reduced camera system S
+  (the intent of #define SCHUR_TRICK 1, bundle_adjustment.cpp:37,406-419)
+- S is (6K,6K) with K keyframes — tiny; solved replicated
+- distributed: landmarks are sharded across the mesh axis; each shard
+  assembles its partial S and b, one psum reduces them over ICI, the solve
+  is replicated, and back-substitution stays local to each shard
+  (SURVEY §5.8)
+
+Observations use fixed per-landmark slots (O wide) — the same SoA layout as
+the map state. Line endpoints are plain landmarks here: a segment
+contributes its two endpoints with their own bearings (the pose-side
+coupling through shared keyframes is exactly captured by S).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from plsvo_tpu import lie
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape BA problem.
+
+    K keyframes, L landmarks (points and/or line endpoints), O obs slots."""
+
+    kf_R: jnp.ndarray  # (K,3,3) T_f_w
+    kf_t: jnp.ndarray  # (K,3)
+    kf_fixed: jnp.ndarray  # (K,) bool — gauge-fixed poses (e.g. first KF)
+    lm_pos: jnp.ndarray  # (L,3)
+    lm_valid: jnp.ndarray  # (L,)
+    obs_kf: jnp.ndarray  # (L,O) int32 keyframe index (-1 = empty)
+    obs_f: jnp.ndarray  # (L,O,3) observed unit bearings
+    obs_valid: jnp.ndarray  # (L,O)
+
+
+class BAStats(NamedTuple):
+    chi2: jnp.ndarray
+    n_obs: jnp.ndarray
+
+
+def _residuals_jacobians(prob: BAProblem, huber: float):
+    """Per-observation residuals e (L,O,2), pose jacobians Jc (L,O,2,6),
+    landmark jacobians Jp (L,O,2,3), robust weights w (L,O)."""
+    kf = jnp.maximum(prob.obs_kf, 0)
+    R = prob.kf_R[kf]  # (L,O,3,3)
+    t = prob.kf_t[kf]
+    xyz = jnp.einsum("loij,lj->loi", R, prob.lm_pos) + t
+    z = jnp.where(jnp.abs(xyz[..., 2]) < 1e-8, 1e-8, xyz[..., 2])
+    proj = xyz[..., :2] / z[..., None]
+    obs = prob.obs_f[..., :2] / jnp.where(
+        jnp.abs(prob.obs_f[..., 2:3]) < 1e-8, 1e-8, prob.obs_f[..., 2:3])
+    e = obs - proj  # (L,O,2)
+
+    x, y = xyz[..., 0], xyz[..., 1]
+    zi = 1.0 / z
+    zi2 = zi * zi
+    o = jnp.zeros_like(x)
+    # d e / d twist (left-compose convention): = jacobian_xyz2uv(xyz)
+    row0 = jnp.stack([-zi, o, x * zi2, x * y * zi2, -(1 + x * x * zi2), y * zi], -1)
+    row1 = jnp.stack([o, -zi, y * zi2, 1 + y * y * zi2, -x * y * zi2, -x * zi], -1)
+    Jc = jnp.stack([row0, row1], -2)  # (L,O,2,6)
+    # d e / d pos_w = -dproj/dxyz @ R
+    dpx = jnp.stack([zi, o, -x * zi2], -1)
+    dpy = jnp.stack([o, zi, -y * zi2], -1)
+    dproj = jnp.stack([dpx, dpy], -2)  # (L,O,2,3)
+    Jp = -jnp.einsum("loik,lokj->loij", dproj, R)
+
+    valid = prob.obs_valid & (prob.obs_kf >= 0) & prob.lm_valid[:, None] & (xyz[..., 2] > 1e-6)
+    en = jnp.linalg.norm(e, axis=-1)
+    w_huber = jnp.where(en <= huber, 1.0, huber / jnp.maximum(en, 1e-12))
+    w = jnp.where(valid, w_huber, 0.0)
+    chi2 = jnp.sum(w * en * en)
+    return e, Jc, Jp, w, chi2, jnp.sum(valid)
+
+
+def _assemble_shard(prob: BAProblem, huber: float, lm_damp: float):
+    """Assemble this shard's contribution to the reduced camera system.
+
+    Returns (S_partial (6K,6K), b_partial (6K,), Hpp_inv (L,3,3),
+    b_p (L,3), W (L,O,6,3), chi2, n_obs)."""
+    K = prob.kf_R.shape[0]
+    e, Jc, Jp, w, chi2, n_obs = _residuals_jacobians(prob, huber)
+
+    # per-landmark blocks
+    Hpp = jnp.einsum("loik,loim,lo->lkm", Jp, Jp, w)  # (L,3,3)
+    Hpp = Hpp + lm_damp * jnp.eye(3)
+    Hpp_inv = jnp.linalg.inv(Hpp)
+    b_p = -jnp.einsum("loik,loi,lo->lk", Jp, e, w)  # (L,3)
+
+    # pose blocks per obs
+    Hcc_blk = jnp.einsum("loik,loim,lo->lokm", Jc, Jc, w)  # (L,O,6,6)
+    b_c_blk = -jnp.einsum("loik,loi,lo->lok", Jc, e, w)  # (L,O,6)
+    W = jnp.einsum("loik,loim,lo->lokm", Jc, Jp, w)  # (L,O,6,3)
+
+    L, O = prob.obs_kf.shape
+    kf = jnp.maximum(prob.obs_kf, 0)
+    obs_on = (prob.obs_valid & (prob.obs_kf >= 0) & prob.lm_valid[:, None])
+
+    # scatter pose diagonal blocks and gradient
+    S = jnp.zeros((K, K, 6, 6))
+    b_c = jnp.zeros((K, 6))
+    S = S.at[kf, kf].add(jnp.where(obs_on[..., None, None], Hcc_blk, 0.0))
+    b_c = b_c.at[kf].add(jnp.where(obs_on[..., None], b_c_blk, 0.0))
+
+    # Schur: subtract W Hpp^-1 W^T for every pose pair sharing a landmark,
+    # and W Hpp^-1 b_p from the gradient
+    WHinv = jnp.einsum("lokm,lmn->lokn", W, Hpp_inv)  # (L,O,6,3)
+    pair = jnp.einsum("loin,lpjn->lopij", WHinv, W)  # (L,O,O,6,6)
+    pair_on = obs_on[:, :, None] & obs_on[:, None, :]
+    S = S.at[kf[:, :, None].repeat(O, 2), kf[:, None, :].repeat(O, 1)].add(
+        jnp.where(pair_on[..., None, None], -pair, 0.0))
+    grad_fix = jnp.einsum("loin,ln->loi", WHinv, b_p)  # (L,O,6)
+    b_c = b_c.at[kf].add(jnp.where(obs_on[..., None], -grad_fix, 0.0))
+
+    S_flat = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    return S_flat, b_c.reshape(6 * K), Hpp_inv, b_p, W, chi2, n_obs
+
+
+def _apply_updates(prob: BAProblem, dc: jnp.ndarray, Hpp_inv, b_p, W):
+    """Back-substitute landmark updates and apply pose updates."""
+    K = prob.kf_R.shape[0]
+    kf = jnp.maximum(prob.obs_kf, 0)
+    obs_on = (prob.obs_valid & (prob.obs_kf >= 0) & prob.lm_valid[:, None])
+    dc_blocks = dc.reshape(K, 6)
+    # dx_p = Hpp^-1 (b_p - sum_o W_o^T dc_{k(o)})
+    Wt_dc = jnp.einsum("loij,loi->loj", W, jnp.where(
+        obs_on[..., None], dc_blocks[kf], 0.0))  # (L,O,3)
+    dx = jnp.einsum("lij,lj->li", Hpp_inv, b_p - jnp.sum(Wt_dc, axis=1))
+    lm_new = jnp.where(prob.lm_valid[:, None], prob.lm_pos + dx, prob.lm_pos)
+
+    # pose update: T <- exp(dc) * T, gauge-fixed poses frozen
+    upd = jnp.where(prob.kf_fixed[:, None], 0.0, dc_blocks)
+    dR, dt = lie.se3_exp(upd)
+    R_new, t_new = lie.compose(dR, dt, prob.kf_R, prob.kf_t)
+    return prob._replace(kf_R=R_new, kf_t=t_new, lm_pos=lm_new)
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def bundle_adjust(
+    prob: BAProblem,
+    *,
+    n_iter: int = 10,
+    huber: float = 1.0 / 250.0,  # unit-plane Huber width ~1px at f=250
+    damping: float = 1e-4,
+    lm_damp: float = 1e-8,
+):
+    """Single-device GN-with-damping BA. Returns (problem, stats)."""
+    K = prob.kf_R.shape[0]
+
+    def body(carry, _):
+        p, chi2_prev = carry
+        S, b, Hpp_inv, b_p, W, chi2, n_obs = _assemble_shard(p, huber, lm_damp)
+        S = S + damping * jnp.eye(6 * K)
+        dc = jnp.linalg.solve(S, b)
+        p_new = _apply_updates(p, dc, Hpp_inv, b_p, W)
+        # keep the update only if chi2 did not blow up
+        _, _, _, _, _, chi2_new, _ = _assemble_shard(p_new, huber, lm_damp)
+        accept = chi2_new <= chi2 * 1.001
+        p_out = jax.tree.map(
+            lambda a, b_: jnp.where(accept, a, b_),
+            p_new, p)
+        return (p_out, jnp.where(accept, chi2_new, chi2)), chi2
+
+    (p_fin, chi2_fin), _ = jax.lax.scan(
+        body, (prob, jnp.asarray(jnp.inf)), None, length=n_iter)
+    _, _, _, _, _, chi2, n_obs = _assemble_shard(p_fin, huber, lm_damp)
+    return p_fin, BAStats(chi2=chi2, n_obs=n_obs)
+
+
+def bundle_adjust_sharded(
+    prob: BAProblem,
+    mesh: Mesh,
+    axis: str = "ba",
+    *,
+    n_iter: int = 10,
+    huber: float = 1.0 / 250.0,
+    damping: float = 1e-4,
+    lm_damp: float = 1e-8,
+):
+    """Distributed BA: landmark rows (and their obs) sharded over `axis`;
+    poses replicated. Each device assembles its partial reduced system,
+    one psum produces the global S and b, the (small) solve is replicated,
+    back-substitution is local (SURVEY §5.8, BASELINE.json config 5).
+
+    L must be divisible by the axis size."""
+    K = prob.kf_R.shape[0]
+    n_dev = mesh.shape[axis]
+    assert prob.lm_pos.shape[0] % n_dev == 0, "pad landmarks to a multiple of mesh size"
+
+    lm_spec = P(axis)
+    specs = BAProblem(
+        kf_R=P(), kf_t=P(), kf_fixed=P(),
+        lm_pos=lm_spec, lm_valid=lm_spec,
+        obs_kf=lm_spec, obs_f=lm_spec, obs_valid=lm_spec)
+
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=(specs,), out_specs=(specs, P()),
+    )
+    def run(p_local: BAProblem):
+        def body(carry, _):
+            p, chi2_prev = carry
+            S, b, Hpp_inv, b_p, W, chi2, n_obs = _assemble_shard(p, huber, lm_damp)
+            S = jax.lax.psum(S, axis)
+            b = jax.lax.psum(b, axis)
+            chi2 = jax.lax.psum(chi2, axis)
+            S = S + damping * jnp.eye(6 * K)
+            dc = jnp.linalg.solve(S, b)
+            p_new = _apply_updates(p, dc, Hpp_inv, b_p, W)
+            _, _, _, _, _, c2n, _ = _assemble_shard(p_new, huber, lm_damp)
+            c2n = jax.lax.psum(c2n, axis)
+            accept = c2n <= chi2 * 1.001
+            p_out = jax.tree.map(
+                lambda a, b_: jnp.where(accept, a, b_), p_new, p)
+            return (p_out, jnp.where(accept, c2n, chi2)), chi2
+
+        (p_fin, _), _ = jax.lax.scan(
+            body, (p_local, jnp.asarray(jnp.inf)), None, length=n_iter)
+        _, _, _, _, _, chi2, n_obs = _assemble_shard(p_fin, huber, lm_damp)
+        stats = BAStats(chi2=jax.lax.psum(chi2, axis),
+                        n_obs=jax.lax.psum(n_obs, axis))
+        return p_fin, stats
+
+    return jax.jit(run)(prob)
+
+
+def problem_from_map(map_state, cfg) -> BAProblem:
+    """Build a BAProblem from the live MapState: point landmarks plus line
+    endpoints (each endpoint is a landmark row)."""
+    import numpy as np
+
+    m = map_state
+    P_rows = np.where(m.pt_status >= 2)[0]
+    L_rows = np.where(m.ln_status >= 2)[0]
+    O = cfg.caps.max_obs_per_landmark
+
+    pos = [m.pt_pos[P_rows]]
+    obs_kf = [m.pt_obs_kf[P_rows]]
+    obs_f = [m.pt_obs_f[P_rows]]
+    # line endpoints become independent landmark rows
+    pos += [m.ln_spos[L_rows], m.ln_epos[L_rows]]
+    obs_kf += [m.ln_obs_kf[L_rows], m.ln_obs_kf[L_rows]]
+    obs_f += [m.ln_obs_sf[L_rows], m.ln_obs_ef[L_rows]]
+
+    pos = np.concatenate(pos, 0) if len(P_rows) + len(L_rows) else np.zeros((0, 3))
+    obs_kf = np.concatenate(obs_kf, 0) if len(pos) else np.zeros((0, O), np.int32)
+    obs_f = np.concatenate(obs_f, 0) if len(pos) else np.zeros((0, O, 3))
+    n = len(pos)
+    occ = m.kf_occupied
+    # gauge: fix the oldest occupied keyframe
+    fixed = np.zeros(len(occ), bool)
+    occ_idx = np.where(occ)[0]
+    if len(occ_idx):
+        fixed[occ_idx[np.argmin(m.kf_frame_id[occ_idx])]] = True
+    ov = (obs_kf >= 0) & occ[np.maximum(obs_kf, 0)]
+    meta = {"n_points": len(P_rows), "n_lines": len(L_rows),
+            "pt_rows": P_rows, "ln_rows": L_rows}
+    return BAProblem(
+        kf_R=jnp.asarray(m.kf_R), kf_t=jnp.asarray(m.kf_t),
+        kf_fixed=jnp.asarray(fixed),
+        lm_pos=jnp.asarray(pos, jnp.float32),
+        lm_valid=jnp.ones(n, bool),
+        obs_kf=jnp.asarray(obs_kf, jnp.int32),
+        obs_f=jnp.asarray(obs_f, jnp.float32),
+        obs_valid=jnp.asarray(ov)), meta
+
+
+def write_back_to_map(map_state, prob: BAProblem, meta):
+    """Scatter optimized poses/landmarks back into the MapState."""
+    import numpy as np
+
+    m = map_state
+    m.kf_R[...] = np.asarray(prob.kf_R)
+    m.kf_t[...] = np.asarray(prob.kf_t)
+    np_pos = np.asarray(prob.lm_pos)
+    npts = meta["n_points"]
+    nln = meta["n_lines"]
+    m.pt_pos[meta["pt_rows"]] = np_pos[:npts]
+    m.ln_spos[meta["ln_rows"]] = np_pos[npts: npts + nln]
+    m.ln_epos[meta["ln_rows"]] = np_pos[npts + nln: npts + 2 * nln]
