@@ -1,0 +1,82 @@
+"""Benchmark: full VO pipeline frames/s on one chip, 752x480 (EuRoC-size).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference publishes no numbers (BASELINE.md); its de-facto
+target is real-time tracking at the 30 fps camera rate it assumes for
+timestamps (app/run_pipeline.cpp:149,234). vs_baseline is therefore
+fps / 30.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    # persistent compile cache: repeated bench runs skip XLA compilation
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from plsvo_tpu.camera import PinholeCamera
+    from plsvo_tpu.config import Config
+    from plsvo_tpu.pipeline.frame_handler import STAGE_DEFAULT, FrameHandlerMono
+    from plsvo_tpu.utils import synthetic
+
+    W, H = 752, 480
+    cam = PinholeCamera.create(W, H, 460.0, 460.0, W / 2, H / 2)
+    rng = np.random.default_rng(3)
+    scene = synthetic.make_scene(rng, size=2048, texel_size=0.003)
+
+    n_frames = 36
+    print(f"rendering {n_frames} frames...", file=sys.stderr)
+    Rs, ts_ = [], []
+    for i in range(n_frames):
+        ang = 0.002 * i
+        Rs.append(np.asarray(
+            [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+             [-np.sin(ang), 0, np.cos(ang)]], np.float32))
+        ts_.append(np.asarray([0.03 * i, 0.008 * np.sin(0.3 * i), -2.0], np.float32))
+    imgs = np.asarray(synthetic.render_batch_aa(
+        scene, cam, np.stack(Rs), np.stack(ts_), ss=2))
+    print("rendered", file=sys.stderr)
+
+    vo = FrameHandlerMono(cam, Config())
+    # warmup/bootstrap phase (includes XLA compiles)
+    times = []
+    t_all0 = time.perf_counter()
+    for i, img in enumerate(imgs):
+        t0 = time.perf_counter()
+        r = vo.add_image(img, i / 30.0)
+        dt = time.perf_counter() - t0
+        times.append((r.stage, dt))
+        print(f"frame {i}: stage={r.stage} q={r.quality} npt={r.n_pt_matches} "
+              f"nseg={r.n_seg_matches} kf={r.is_keyframe} {dt*1000:.1f}ms",
+              file=sys.stderr)
+    total = time.perf_counter() - t_all0
+
+    # steady-state: DEFAULT-stage frames, excluding the first 3 (compile)
+    default_times = [dt for s, dt in times if s == STAGE_DEFAULT]
+    if len(default_times) > 6:
+        steady = default_times[3:]
+    else:
+        steady = default_times or [total / n_frames]
+    per_frame = float(np.median(steady))
+    fps = 1.0 / per_frame
+
+    print(json.dumps({
+        "metric": "vo_fps_752x480_points_lines",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ frame achieves the same overlap on-device without threads — SURVEY §2.3).
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -36,6 +37,7 @@ from plsvo_tpu.ops import pose_opt, sparse_align, struct_opt
 from plsvo_tpu.pipeline.state import (
     FrameState, MapState, ST_CANDIDATE, ST_DELETED, ST_GOOD, ST_UNKNOWN)
 from plsvo_tpu.pipeline import reprojector
+from plsvo_tpu.utils.profiling import PerformanceMonitor
 
 STAGE_PAUSED = "paused"
 STAGE_FIRST = "first"
@@ -80,10 +82,15 @@ class FrameHandlerMono:
         self.n_relocalizations = 0
         self.results: List[FrameResult] = []
         self._fx = float(np.asarray(cam.fx))
+        # trace plane (reference permon channels, frame_handler_base.cpp:58-86)
+        self.permon = PerformanceMonitor()
 
     # ------------------------------------------------------------------
     def add_image(self, img, timestamp: float) -> FrameResult:
-        pyr = build_pyramid(jnp.asarray(img, jnp.float32), self.n_levels)
+        self.permon.new_frame(self.frame_id)
+        t_tot = time.perf_counter()
+        with self.permon.timer("pyramid_creation"):
+            pyr = build_pyramid(jnp.asarray(img, jnp.float32), self.n_levels)
         if self.stage == STAGE_FIRST:
             res = self._process_first(pyr, timestamp)
         elif self.stage == STAGE_SECOND:
@@ -96,6 +103,9 @@ class FrameHandlerMono:
             raise RuntimeError(f"stage {self.stage}")
         self.frame_id += 1
         self.results.append(res)
+        self.permon.timers["tot_time"] = time.perf_counter() - t_tot
+        self.permon.log("img_align_n_tracked", res.n_pt_matches)
+        self.permon.log("n_seg_tracked", res.n_seg_matches)
         return res
 
     # ------------------------------------------------------------------
@@ -246,14 +256,15 @@ class FrameHandlerMono:
                                  last.R_f_w.copy(), last.t_f_w.copy())
 
         # --- 1. sparse image alignment (frame_handler_mono.cpp:266-274) ---
-        pts_in, segs_in = self._align_inputs_from_frame(last)
-        levels = tuple(range(pl.klt_max_level, pl.klt_min_level - 1, -1))
-        ares = sparse_align.sparse_img_align(
-            last.pyr, pyr, pts_in, segs_in,
-            jnp.eye(3), jnp.zeros(3),  # T_cur_from_last init = identity
-            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-            levels=levels, n_iter=pl.img_align_n_iter,
-            patch_size=pl.img_align_patch_size)
+        with self.permon.timer("sparse_img_align"):
+            pts_in, segs_in = self._align_inputs_from_frame(last)
+            levels = tuple(range(pl.klt_max_level, pl.klt_min_level - 1, -1))
+            ares = sparse_align.sparse_img_align(
+                last.pyr, pyr, pts_in, segs_in,
+                jnp.eye(3), jnp.zeros(3),  # T_cur_from_last init = identity
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                levels=levels, n_iter=pl.img_align_n_iter,
+                patch_size=pl.img_align_patch_size)
         R_cl, t_cl = np.asarray(ares.R), np.asarray(ares.t)
         frame.R_f_w = (R_cl @ last.R_f_w).astype(np.float32)
         frame.t_f_w = (R_cl @ last.t_f_w + t_cl).astype(np.float32)
@@ -263,7 +274,8 @@ class FrameHandlerMono:
         last.seg_lm[drop] = -1
 
         # --- 2. reproject map (frame_handler_mono.cpp:307-321) ---
-        n_pt, n_seg = self._reproject_and_fill(frame)
+        with self.permon.timer("reproject"):
+            n_pt, n_seg = self._reproject_and_fill(frame)
         if n_pt < pl.quality_min_fts:
             # tracking failed: keep last pose, go relocalize
             # (frame_handler_mono.cpp:315-321)
@@ -273,10 +285,12 @@ class FrameHandlerMono:
                                n_pt, n_seg, False, frame.R_f_w, frame.t_f_w)
 
         # --- 3. pose optimization (frame_handler_mono.cpp:327-336) ---
-        self._pose_optimize(frame)
+        with self.permon.timer("pose_optimizer"):
+            self._pose_optimize(frame)
 
         # --- 4. structure optimization (frame_handler_base.cpp:202-237) ---
-        self._structure_optimize(frame)
+        with self.permon.timer("point_optimizer"):
+            self._structure_optimize(frame)
 
         # --- 5. quality + keyframe decision ---
         quality = self._tracking_quality(frame, n_pt)
@@ -293,8 +307,9 @@ class FrameHandlerMono:
             frame.is_keyframe = True
             self._make_keyframe(frame, d_mean, d_min)
         # --- 6. depth-filter update on every frame ---
-        self._update_seeds(frame)
-        self._harvest_seeds()
+        with self.permon.timer("depth_filter"):
+            self._update_seeds(frame)
+            self._harvest_seeds()
 
         self.last_frame = frame
         return FrameResult(frame.frame_id, STAGE_DEFAULT, quality, n_pt, n_seg,

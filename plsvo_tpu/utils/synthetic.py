@@ -66,6 +66,11 @@ def make_texture(
 
 def make_scene(rng: np.random.Generator, size: int = 1024, texel_size: float = 0.004,
                **tex_kw) -> PlaneScene:
+    # keep feature density constant per unit area as the texture grows
+    if "n_blobs" not in tex_kw:
+        tex_kw["n_blobs"] = int(180 * (size / 1024) ** 2)
+    if "n_rects" not in tex_kw:
+        tex_kw["n_rects"] = int(40 * (size / 1024) ** 2)
     tex = make_texture(rng, size=size, **tex_kw)
     origin = -0.5 * size * texel_size * np.ones(2, np.float32)
     return PlaneScene(
@@ -145,6 +150,29 @@ def render_aa(scene: PlaneScene, cam: PinholeCamera, R_w_c, t_w_c, ss: int = 2):
         depth = half_sample(jnp.where(jnp.isinf(depth), 0.0, depth))
         ss //= 2
     return img, depth
+
+
+def render_batch_aa(scene: PlaneScene, cam: PinholeCamera, Rs, ts, ss: int = 2):
+    """Render many poses in ONE jitted call (vmap over the pose axis) —
+    avoids per-frame dispatch/compile overhead for sequence generation.
+    Rs: (B,3,3) cam->world, ts: (B,3). Returns images (B,H,W)."""
+    from plsvo_tpu.image import half_sample
+
+    assert ss in (1, 2)
+    cam_r = cam
+    if ss == 2:
+        cam_r = PinholeCamera.create(
+            cam.width * 2, cam.height * 2, cam.fx * 2, cam.fy * 2,
+            cam.cx * 2 + 0.5, cam.cy * 2 + 0.5, cam.dist)
+
+    @jax.jit
+    def run(Rs, ts):
+        imgs, _ = jax.vmap(lambda R, t: _render(scene, cam_r, R, t, False))(Rs, ts)
+        if ss == 2:
+            imgs = jax.vmap(half_sample)(imgs)
+        return imgs
+
+    return run(jnp.asarray(Rs), jnp.asarray(ts))
 
 
 def orbit_trajectory(n_frames: int, radius: float = 0.25, height: float = -2.0,
