@@ -328,3 +328,52 @@ class MapState:
         actl = self.ln_status > 0
         self.ln_spos[actl] = s * (self.ln_spos[actl] @ R.T) + t
         self.ln_epos[actl] = s * (self.ln_epos[actl] @ R.T) + t
+
+
+def validate_map(m: MapState) -> List[str]:
+    """Consistency checker (reference: map_debug::mapValidation /
+    frameValidation / pointValidation, src/map.cpp:461-529). Returns a list
+    of violation strings; empty = consistent."""
+    errs = []
+    K = m.cfg.caps.max_kfs
+    # keyframe feature tables must reference live landmarks
+    for k in np.where(m.kf_occupied)[0]:
+        for i, lm in enumerate(m.kf_pt_lm[k]):
+            if lm >= 0 and m.pt_status[lm] == ST_DELETED:
+                errs.append(f"kf{k} pt feature {i} -> deleted landmark {lm}")
+        for i, lm in enumerate(m.kf_seg_lm[k]):
+            if lm >= 0 and m.ln_status[lm] == ST_DELETED:
+                errs.append(f"kf{k} seg feature {i} -> deleted landmark {lm}")
+    # live landmarks must have a live anchor keyframe
+    for r in np.where(m.pt_status > 0)[0]:
+        a = m.pt_anchor_kf[r]
+        if a < 0 or a >= K or not m.kf_occupied[a]:
+            errs.append(f"point {r} anchor kf {a} not occupied")
+    for r in np.where(m.ln_status > 0)[0]:
+        a = m.ln_anchor_kf[r]
+        if a < 0 or a >= K or not m.kf_occupied[a]:
+            errs.append(f"line {r} anchor kf {a} not occupied")
+    # obs slots must point at occupied keyframes
+    for r in np.where(m.pt_status > 0)[0]:
+        for k in m.pt_obs_kf[r]:
+            if k >= 0 and not m.kf_occupied[k]:
+                errs.append(f"point {r} obs kf {k} not occupied")
+    # finite geometry
+    if not np.isfinite(m.pt_pos[m.pt_status > 0]).all():
+        errs.append("non-finite point positions")
+    if not (np.isfinite(m.ln_spos[m.ln_status > 0]).all()
+            and np.isfinite(m.ln_epos[m.ln_status > 0]).all()):
+        errs.append("non-finite line positions")
+    return errs
+
+
+def map_statistics(m: MapState) -> dict:
+    """map_debug::mapStatistics analogue."""
+    return {
+        "n_keyframes": int(m.kf_occupied.sum()),
+        "n_points": int((m.pt_status > 0).sum()),
+        "n_points_good": int((m.pt_status == ST_GOOD).sum()),
+        "n_points_candidate": int((m.pt_status == ST_CANDIDATE).sum()),
+        "n_lines": int((m.ln_status > 0).sum()),
+        "n_lines_good": int((m.ln_status == ST_GOOD).sum()),
+    }

@@ -117,3 +117,46 @@ def test_umeyama_exact(rng):
     assert abs(s - s_gt) < 1e-9
     np.testing.assert_allclose(R, R_gt, atol=1e-9)
     assert trajectory.ate_rmse(src, dst) < 1e-9
+
+
+def test_map_consistency_after_run(sequence):
+    from plsvo_tpu.pipeline.state import map_statistics, validate_map
+
+    scene, poses, imgs = sequence
+    vo, results = run_pipeline(imgs)
+    errs = validate_map(vo.map)
+    assert errs == [], errs[:10]
+    stats = map_statistics(vo.map)
+    assert stats["n_points"] > 30
+    assert stats["n_keyframes"] >= 2
+
+
+def test_pipeline_points_only_mode(sequence):
+    """has_ls=False runs the degenerate point-only pipeline
+    (reference: no-op line detector, frame_handler_mono.cpp:72-75)."""
+    import dataclasses
+
+    scene, poses, imgs = sequence
+    cfg = fast_config()
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, has_ls=False))
+    vo, results = run_pipeline(imgs, cfg)
+    stages = [r.stage for r in results]
+    assert STAGE_DEFAULT in stages
+    tail = results[stages.index(STAGE_DEFAULT):]
+    assert all(r.stage == STAGE_DEFAULT for r in tail)
+    assert (vo.map.ln_status > 0).sum() == 0
+
+
+def test_pipeline_local_ba_improves_or_keeps_map(sequence):
+    from plsvo_tpu.parallel import ba
+
+    scene, poses, imgs = sequence
+    vo, results = run_pipeline(imgs)
+    prob, meta = ba.problem_from_map(vo.map, vo.cfg)
+    assert prob.lm_pos.shape[0] > 20
+    out, stats = ba.bundle_adjust(prob, n_iter=5)
+    assert np.isfinite(float(stats.chi2))
+    ba.write_back_to_map(vo.map, out, meta)
+    from plsvo_tpu.pipeline.state import validate_map
+    assert validate_map(vo.map) == []
