@@ -22,6 +22,7 @@ import time
 from dataclasses import dataclass
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,15 +83,57 @@ class FrameHandlerMono:
         self.n_relocalizations = 0
         self.results: List[FrameResult] = []
         self._fx = float(np.asarray(cam.fx))
+        self._fy = float(np.asarray(cam.fy))
+        self._cx = float(np.asarray(cam.cx))
+        self._cy = float(np.asarray(cam.cy))
+        # host mirrors of the static seed columns (written only by
+        # _init_seeds) so harvesting never fetches the device tables
+        caps = self.cfg.caps
+        self._seed_host = {
+            "kf_idx": np.zeros(caps.max_seeds, np.int32),
+            "uv": np.zeros((caps.max_seeds, 2), np.float32),
+            "f": np.zeros((caps.max_seeds, 3), np.float32),
+            "level": np.zeros(caps.max_seeds, np.int32)}
+        self._lnseed_host = {
+            "kf_idx": np.zeros(caps.max_seed_segs, np.int32),
+            "s_uv": np.zeros((caps.max_seed_segs, 2), np.float32),
+            "e_uv": np.zeros((caps.max_seed_segs, 2), np.float32),
+            "sf": np.zeros((caps.max_seed_segs, 3), np.float32),
+            "ef": np.zeros((caps.max_seed_segs, 3), np.float32),
+            "level": np.zeros(caps.max_seed_segs, np.int32)}
         # trace plane (reference permon channels, frame_handler_base.cpp:58-86)
         self.permon = PerformanceMonitor()
+
+    # ---- host-side (numpy) camera math: avoids device round-trips ----
+    def _np_unproject(self, uv: np.ndarray) -> np.ndarray:
+        x = (uv[..., 0] - self._cx) / self._fx
+        y = (uv[..., 1] - self._cy) / self._fy
+        fvec = np.stack([x, y, np.ones_like(x)], -1)
+        return (fvec / np.linalg.norm(fvec, axis=-1, keepdims=True)).astype(np.float32)
+
+    @staticmethod
+    def _np_line_coeffs(sf: np.ndarray, ef: np.ndarray) -> np.ndarray:
+        zs = np.where(np.abs(sf[..., 2:3]) < 1e-10, 1e-10, sf[..., 2:3])
+        ze = np.where(np.abs(ef[..., 2:3]) < 1e-10, 1e-10, ef[..., 2:3])
+        sp = np.concatenate([sf[..., :2] / zs, np.ones_like(zs)], -1)
+        ep = np.concatenate([ef[..., :2] / ze, np.ones_like(ze)], -1)
+        l = np.cross(sp, ep)
+        n = np.linalg.norm(l[..., :2], axis=-1, keepdims=True)
+        return (l / np.maximum(n, 1e-12)).astype(np.float32)
 
     # ------------------------------------------------------------------
     def add_image(self, img, timestamp: float) -> FrameResult:
         self.permon.new_frame(self.frame_id)
         t_tot = time.perf_counter()
         with self.permon.timer("pyramid_creation"):
-            pyr = build_pyramid(jnp.asarray(img, jnp.float32), self.n_levels)
+            # upload as uint8 when possible (4x less tunnel bandwidth)
+            a = np.asarray(img)
+            if a.dtype != np.uint8 and a.dtype != np.float32:
+                a = a.astype(np.float32)
+            img_dev = jnp.asarray(a)
+            if img_dev.dtype == jnp.uint8:
+                img_dev = img_dev.astype(jnp.float32)
+            pyr = build_pyramid(img_dev, self.n_levels)
         if self.stage == STAGE_FIRST:
             res = self._process_first(pyr, timestamp)
         elif self.stage == STAGE_SECOND:
@@ -265,11 +308,11 @@ class FrameHandlerMono:
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                 levels=levels, n_iter=pl.img_align_n_iter,
                 patch_size=pl.img_align_patch_size)
-        R_cl, t_cl = np.asarray(ares.R), np.asarray(ares.t)
+        R_cl, t_cl, seg_alive = jax.device_get(
+            (ares.R, ares.t, ares.seg_alive))
         frame.R_f_w = (R_cl @ last.R_f_w).astype(np.float32)
         frame.t_f_w = (R_cl @ last.t_f_w + t_cl).astype(np.float32)
         # lines dropped by the photometric gate lose their landmark link
-        seg_alive = np.asarray(ares.seg_alive)
         drop = last.seg_valid & ~seg_alive
         last.seg_lm[drop] = -1
 
@@ -318,10 +361,12 @@ class FrameHandlerMono:
     # ------------------------------------------------------------------
     def _reproject_and_fill(self, frame: FrameState):
         """Reproject landmarks, refine, fill the frame's feature tables and
-        update landmark quality counters (reprojector.cpp:286-308)."""
+        update landmark quality counters (reprojector.cpp:286-308).
+        One batched device fetch per feature class; all fill logic is
+        vectorized host numpy."""
         pl = self.cfg.pipeline
         m = self.map
-        rres = reprojector.reproject_points(
+        rres_dev = reprojector.reproject_points(
             jnp.asarray(m.pt_pos), jnp.asarray(m.pt_status),
             jnp.asarray(m.pt_anchor_kf), jnp.asarray(m.pt_anchor_uv),
             jnp.asarray(m.pt_anchor_f), jnp.asarray(m.pt_anchor_level),
@@ -329,40 +374,9 @@ class FrameHandlerMono:
             jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
             cell_size=pl.grid_size, max_out=self.cfg.caps.max_fts)
-        sel = np.asarray(rres.selected)
-        matched = np.asarray(rres.matched)
-        lm = np.asarray(rres.lm_idx)
-        uv = np.asarray(rres.uv)
-        level = np.asarray(rres.level)
-
-        # quality counters + deletion rules (reprojector.cpp:292-308,352-370)
-        succ = lm[matched]
-        fail = lm[sel & ~matched]
-        m.pt_n_succ[succ] += 1
-        m.pt_n_fail[fail] += 1
-        cand_dead = (m.pt_status == ST_CANDIDATE) & (m.pt_n_fail > 30)
-        unk_dead = (m.pt_status == ST_UNKNOWN) & (m.pt_n_fail > 15)
-        m.pt_status[cand_dead | unk_dead] = ST_DELETED
-        promote = (m.pt_status == ST_UNKNOWN) & (m.pt_n_succ > 10)
-        m.pt_status[promote] = ST_GOOD
-
-        # fill frame table with successful matches
-        n = 0
-        f_all = np.asarray(self.cam.unproject(jnp.asarray(uv)))
-        for i in np.where(matched)[0]:
-            if m.pt_status[lm[i]] == ST_DELETED:
-                continue
-            frame.pt_uv[n] = uv[i]
-            frame.pt_f[n] = f_all[i]
-            frame.pt_level[n] = level[i]
-            frame.pt_lm[n] = lm[i]
-            frame.pt_valid[n] = True
-            n += 1
-        n_pt = n
-
-        n_seg = 0
+        sres_dev = None
         if pl.has_ls:
-            sres = reprojector.reproject_segments(
+            sres_dev = reprojector.reproject_segments(
                 jnp.asarray(m.ln_spos), jnp.asarray(m.ln_epos),
                 jnp.asarray(m.ln_status), jnp.asarray(m.ln_anchor_kf),
                 jnp.asarray(m.ln_anchor_suv), jnp.asarray(m.ln_anchor_euv),
@@ -372,9 +386,39 @@ class FrameHandlerMono:
                 jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                 cell_size=pl.grid_size_segs, max_out=self.cfg.caps.max_segs)
-            ssel = np.asarray(sres.selected)
-            smat = np.asarray(sres.matched)
-            slm = np.asarray(sres.lm_idx)
+        fetched = jax.device_get((rres_dev, sres_dev))
+        rres, sres = fetched
+
+        sel = rres.selected
+        matched = rres.matched
+        lm = rres.lm_idx
+        uv = rres.uv
+        level = rres.level
+
+        # quality counters + deletion rules (reprojector.cpp:292-308,352-370)
+        m.pt_n_succ[lm[matched]] += 1
+        m.pt_n_fail[lm[sel & ~matched]] += 1
+        cand_dead = (m.pt_status == ST_CANDIDATE) & (m.pt_n_fail > 30)
+        unk_dead = (m.pt_status == ST_UNKNOWN) & (m.pt_n_fail > 15)
+        m.pt_status[cand_dead | unk_dead] = ST_DELETED
+        promote = (m.pt_status == ST_UNKNOWN) & (m.pt_n_succ > 10)
+        m.pt_status[promote] = ST_GOOD
+
+        keep = matched & (m.pt_status[lm] != ST_DELETED)
+        rows = np.where(keep)[0][: self.cfg.caps.max_fts]
+        n_pt = len(rows)
+        frame.pt_uv[:n_pt] = uv[rows]
+        frame.pt_f[:n_pt] = self._np_unproject(uv[rows]) if n_pt else 0
+        frame.pt_level[:n_pt] = level[rows]
+        frame.pt_lm[:n_pt] = lm[rows]
+        frame.pt_valid[:] = False
+        frame.pt_valid[:n_pt] = True
+
+        n_seg = 0
+        if sres is not None:
+            ssel = sres.selected
+            smat = sres.matched
+            slm = sres.lm_idx
             m.ln_n_succ[slm[smat]] += 1
             m.ln_n_fail[slm[ssel & ~smat]] += 1
             c_dead = (m.ln_status == ST_CANDIDATE) & (m.ln_n_fail > 30)
@@ -382,26 +426,23 @@ class FrameHandlerMono:
             m.ln_status[c_dead | u_dead] = ST_DELETED
             m.ln_status[(m.ln_status == ST_UNKNOWN) & (m.ln_n_succ > 10)] = ST_GOOD
 
-            s_uv = np.asarray(sres.s_uv)
-            e_uv = np.asarray(sres.e_uv)
-            sf_all = np.asarray(self.cam.unproject(jnp.asarray(s_uv)))
-            ef_all = np.asarray(self.cam.unproject(jnp.asarray(e_uv)))
-            line_c = np.asarray(pose_opt.line_coeffs_from_bearings(
-                jnp.asarray(sf_all), jnp.asarray(ef_all)))
-            k = 0
-            for i in np.where(smat)[0]:
-                if m.ln_status[slm[i]] == ST_DELETED:
-                    continue
-                frame.seg_suv[k] = s_uv[i]
-                frame.seg_euv[k] = e_uv[i]
-                frame.seg_sf[k] = sf_all[i]
-                frame.seg_ef[k] = ef_all[i]
-                frame.seg_line[k] = line_c[i]
-                frame.seg_level[k] = np.asarray(sres.level)[i]
-                frame.seg_lm[k] = slm[i]
-                frame.seg_valid[k] = True
-                k += 1
-            n_seg = k
+            skeep = smat & (m.ln_status[slm] != ST_DELETED)
+            srows = np.where(skeep)[0][: self.cfg.caps.max_segs]
+            n_seg = len(srows)
+            if n_seg:
+                s_uv = sres.s_uv[srows]
+                e_uv = sres.e_uv[srows]
+                sf = self._np_unproject(s_uv)
+                ef = self._np_unproject(e_uv)
+                frame.seg_suv[:n_seg] = s_uv
+                frame.seg_euv[:n_seg] = e_uv
+                frame.seg_sf[:n_seg] = sf
+                frame.seg_ef[:n_seg] = ef
+                frame.seg_line[:n_seg] = self._np_line_coeffs(sf, ef)
+                frame.seg_level[:n_seg] = sres.level[srows]
+                frame.seg_lm[:n_seg] = slm[srows]
+            frame.seg_valid[:] = False
+            frame.seg_valid[:n_seg] = True
         return n_pt, n_seg
 
     def _pose_optimize(self, frame: FrameState):
@@ -418,18 +459,23 @@ class FrameHandlerMono:
             seg_spos_w=jnp.asarray(m.ln_spos[slm]),
             seg_epos_w=jnp.asarray(m.ln_epos[slm]),
             seg_valid=jnp.asarray(frame.seg_valid))
-        res = pose_opt.optimize_pose(
+        res_dev = pose_opt.optimize_pose(
             inp, jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
             self.cam.fx, n_iter=pl.poseoptim_num_iter,
             reproj_thresh=pl.poseoptim_thresh)
-        frame.R_f_w = np.asarray(lie.reorthonormalize(res.R), np.float32)
-        frame.t_f_w = np.asarray(res.t, np.float32)
-        frame.cov = np.asarray(res.cov)
+        res = jax.device_get(res_dev)
+
+        # host Gram-Schmidt re-orthonormalization (numpy: no device trip)
+        R = res.R
+        x = R[0] / max(np.linalg.norm(R[0]), 1e-12)
+        y = R[1] - np.dot(x, R[1]) * x
+        y = y / max(np.linalg.norm(y), 1e-12)
+        frame.R_f_w = np.stack([x, y, np.cross(x, y)]).astype(np.float32)
+        frame.t_f_w = res.t.astype(np.float32)
+        frame.cov = res.cov
         # outliers lose their landmark link (pose_optimizer.cpp:201-242)
-        pt_out = frame.pt_valid & ~np.asarray(res.pt_inlier)
-        frame.pt_valid[pt_out] = False
-        seg_out = frame.seg_valid & ~np.asarray(res.seg_inlier)
-        frame.seg_valid[seg_out] = False
+        frame.pt_valid &= res.pt_inlier
+        frame.seg_valid &= res.seg_inlier
 
     def _structure_optimize(self, frame: FrameState):
         pl = self.cfg.pipeline
@@ -444,7 +490,7 @@ class FrameHandlerMono:
             pos, improved = struct_opt.optimize_points(
                 jnp.asarray(m.pt_pos[sel]), obs,
                 jnp.ones(len(sel), bool), n_iter=pl.structureoptim_num_iter)
-            m.pt_pos[sel] = np.asarray(pos)
+            m.pt_pos[sel] = jax.device_get(pos)
             m.pt_last_optim[sel] = frame.frame_id
 
         sl_ids = frame.seg_lm[frame.seg_valid & (frame.seg_lm >= 0)]
@@ -458,8 +504,9 @@ class FrameHandlerMono:
                 jnp.asarray(m.ln_spos[sel]), jnp.asarray(m.ln_epos[sel]),
                 s_obs, e_obs, jnp.ones(len(sel), bool),
                 n_iter=pl.structureoptim_num_iter_segs)
-            m.ln_spos[sel] = np.asarray(sp)
-            m.ln_epos[sel] = np.asarray(ep)
+            sp_np, ep_np = jax.device_get((sp, ep))
+            m.ln_spos[sel] = sp_np
+            m.ln_epos[sel] = ep_np
             m.ln_last_optim[sel] = frame.frame_id
 
     def _gather_pt_obs(self, rows: np.ndarray) -> struct_opt.StructObs:
@@ -495,13 +542,15 @@ class FrameHandlerMono:
         """frame_handler_mono.cpp:475-499: no new KF if any keyframe is
         within kfselect_mindist_t AND kfselect_mindist_r."""
         pl = self.cfg.pipeline
+        Rf, tf = frame.R_f_w, frame.t_f_w
         for k in np.where(self.map.kf_occupied)[0]:
-            R_rel, t_rel = lie.compose(
-                *lie.inverse(jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w)),
-                jnp.asarray(self.map.kf_R[k]), jnp.asarray(self.map.kf_t[k]))
-            xi = np.asarray(lie.se3_log(R_rel, t_rel))
-            dt = float(np.linalg.norm(xi[:3]))
-            dr = float(np.linalg.norm(xi[3:])) * 180.0 / math.pi
+            # delta = T_frame^-1 * T_kf (numpy, no device round-trips)
+            Rk, tk = self.map.kf_R[k], self.map.kf_t[k]
+            R_rel = Rf.T @ Rk
+            t_rel = Rf.T @ (tk - tf)
+            dt = float(np.linalg.norm(t_rel))
+            cosang = np.clip((np.trace(R_rel) - 1.0) * 0.5, -1.0, 1.0)
+            dr = float(np.degrees(np.arccos(cosang)))
             if dt < pl.kfselect_mindist_t and dr < pl.kfselect_mindist_r:
                 return False
         return True
@@ -550,7 +599,7 @@ class FrameHandlerMono:
         valid = np.asarray(grid.valid) & ~np.asarray(occupied)
         uv = np.asarray(grid.uv)[valid]
         lvl = np.asarray(grid.level)[valid]
-        f = np.asarray(self.cam.unproject(jnp.asarray(uv))) if len(uv) else np.zeros((0, 3))
+        f = self._np_unproject(uv) if len(uv) else np.zeros((0, 3), np.float32)
 
         mu, sigma2, z_range = df.seed_init_params(d_mean, d_min)
         seeds = self.pt_seeds
@@ -559,6 +608,11 @@ class FrameHandlerMono:
         if len(free):
             idx = jnp.asarray(free)
             k = len(free)
+            # host mirrors of static columns (used by _harvest_seeds)
+            self._seed_host["kf_idx"][free] = kf_slot
+            self._seed_host["uv"][free] = uv[:k]
+            self._seed_host["f"][free] = f[:k]
+            self._seed_host["level"][free] = lvl[:k]
             seeds = seeds._replace(
                 kf_idx=seeds.kf_idx.at[idx].set(kf_slot),
                 uv=seeds.uv.at[idx].set(jnp.asarray(uv[:k], jnp.float32)),
@@ -581,8 +635,14 @@ class FrameHandlerMono:
             if len(lfree):
                 k = len(lfree)
                 idx = jnp.asarray(lfree)
-                sf = np.asarray(self.cam.unproject(jnp.asarray(sp[:k])))
-                ef = np.asarray(self.cam.unproject(jnp.asarray(ep[:k])))
+                sf = self._np_unproject(sp[:k])
+                ef = self._np_unproject(ep[:k])
+                self._lnseed_host["kf_idx"][lfree] = kf_slot
+                self._lnseed_host["s_uv"][lfree] = sp[:k]
+                self._lnseed_host["e_uv"][lfree] = ep[:k]
+                self._lnseed_host["sf"][lfree] = sf
+                self._lnseed_host["ef"][lfree] = ef
+                self._lnseed_host["level"][lfree] = 0
                 lseeds = lseeds._replace(
                     kf_idx=lseeds.kf_idx.at[idx].set(kf_slot),
                     s_uv=lseeds.s_uv.at[idx].set(jnp.asarray(sp[:k], jnp.float32)),
@@ -618,8 +678,7 @@ class FrameHandlerMono:
             max_seed_kfs=pl.max_seed_kfs,
             sigma_conv_factor=pl.seed_convergence_sigma2_thresh)
         self.pt_seeds = res.seeds
-        self._pt_converged = (np.asarray(res.converged),
-                              np.asarray(res.depth_converged))
+        self._pt_converged_dev = (res.converged, res.depth_converged)
         if pl.has_ls:
             lres = df.update_line_seeds(
                 self.ln_seeds, jnp.asarray(R_w), jnp.asarray(t_w), m.kf_pyr,
@@ -629,46 +688,42 @@ class FrameHandlerMono:
                 max_seed_kfs=pl.max_seed_kfs,
                 sigma_conv_factor=pl.seed_convergence_sigma2_thresh)
             self.ln_seeds = lres.seeds
-            self._ln_converged = (np.asarray(lres.converged),
-                                  np.asarray(lres.depth_s), np.asarray(lres.depth_e))
+            self._ln_converged_dev = (lres.converged, lres.depth_s, lres.depth_e)
         else:
-            self._ln_converged = None
+            self._ln_converged_dev = None
 
     def _harvest_seeds(self):
         """Converged seeds become CANDIDATE landmarks
-        (depth_filter.cpp:333-355 + MapPointCandidates, map.cpp:285-309)."""
+        (depth_filter.cpp:333-355 + MapPointCandidates, map.cpp:285-309).
+        Static seed columns come from host mirrors — only the convergence
+        masks/depths are fetched (one small transfer)."""
         m = self.map
-        conv, depth = self._pt_converged
-        s = self.pt_seeds
-        kf_idx = np.asarray(s.kf_idx)
-        uv = np.asarray(s.uv)
-        f = np.asarray(s.f)
-        lvl = np.asarray(s.level)
+        if self._ln_converged_dev is not None:
+            conv, depth, lconv, ds, de = jax.device_get(
+                self._pt_converged_dev + self._ln_converged_dev)
+        else:
+            conv, depth = jax.device_get(self._pt_converged_dev)
+            lconv = None
+        sh = self._seed_host
         for i in np.where(conv)[0]:
-            k = kf_idx[i]
+            k = sh["kf_idx"][i]
             if not m.kf_occupied[k]:
                 continue
-            # world position: T_w_kf * (f * depth)
             Rk, tk = m.kf_R[k], m.kf_t[k]
-            pos_w = Rk.T @ (f[i] * depth[i] - tk)
-            m.new_point(pos_w, int(k), uv[i], f[i], int(lvl[i]),
-                        status=ST_CANDIDATE)
-        if self._ln_converged is not None:
-            lconv, ds, de = self._ln_converged
-            ls = self.ln_seeds
-            lkf = np.asarray(ls.kf_idx)
+            pos_w = Rk.T @ (sh["f"][i] * depth[i] - tk)
+            m.new_point(pos_w, int(k), sh["uv"][i], sh["f"][i],
+                        int(sh["level"][i]), status=ST_CANDIDATE)
+        if lconv is not None:
+            lh = self._lnseed_host
             for i in np.where(lconv)[0]:
-                k = lkf[i]
+                k = lh["kf_idx"][i]
                 if not m.kf_occupied[k]:
                     continue
                 Rk, tk = m.kf_R[k], m.kf_t[k]
-                sfi = np.asarray(ls.sf)[i]
-                efi = np.asarray(ls.ef)[i]
-                spos = Rk.T @ (sfi * ds[i] - tk)
-                epos = Rk.T @ (efi * de[i] - tk)
-                m.new_line(spos, epos, int(k),
-                           np.asarray(ls.s_uv)[i], np.asarray(ls.e_uv)[i],
-                           sfi, efi, int(np.asarray(ls.level)[i]),
+                spos = Rk.T @ (lh["sf"][i] * ds[i] - tk)
+                epos = Rk.T @ (lh["ef"][i] * de[i] - tk)
+                m.new_line(spos, epos, int(k), lh["s_uv"][i], lh["e_uv"][i],
+                           lh["sf"][i], lh["ef"][i], int(lh["level"][i]),
                            status=ST_CANDIDATE)
 
     # ------------------------------------------------------------------
