@@ -17,6 +17,7 @@ every patch of every feature — that is the whole point of the TPU design
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import List
 
 import jax
@@ -36,11 +37,17 @@ def half_sample(img: jnp.ndarray) -> jnp.ndarray:
 
 def build_pyramid(img: jnp.ndarray, n_levels: int) -> List[jnp.ndarray]:
     """List of n_levels images, level 0 = full resolution
-    (reference: frame_utils::createImgPyramid, src/frame.cpp:171-180)."""
+    (reference: frame_utils::createImgPyramid, src/frame.cpp:171-180).
+    One fused dispatch (jit over the whole chain)."""
+    return list(_build_pyramid_jit(img, n_levels))
+
+
+@partial(jax.jit, static_argnames=("n_levels",))
+def _build_pyramid_jit(img, n_levels: int):
     pyr = [img.astype(jnp.float32)]
     for _ in range(1, n_levels):
         pyr.append(half_sample(pyr[-1]))
-    return pyr
+    return tuple(pyr)
 
 
 def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray, *, oob_value: float = 0.0):

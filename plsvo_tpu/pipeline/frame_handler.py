@@ -101,6 +101,7 @@ class FrameHandlerMono:
             "sf": np.zeros((caps.max_seed_segs, 3), np.float32),
             "ef": np.zeros((caps.max_seed_segs, 3), np.float32),
             "level": np.zeros(caps.max_seed_segs, np.int32)}
+        self._any_line_seeds = False
         # trace plane (reference permon channels, frame_handler_base.cpp:58-86)
         self.permon = PerformanceMonitor()
 
@@ -370,7 +371,8 @@ class FrameHandlerMono:
             jnp.asarray(m.pt_pos), jnp.asarray(m.pt_status),
             jnp.asarray(m.pt_anchor_kf), jnp.asarray(m.pt_anchor_uv),
             jnp.asarray(m.pt_anchor_f), jnp.asarray(m.pt_anchor_level),
-            jnp.asarray(m.kf_R), jnp.asarray(m.kf_t), m.kf_pyr, frame.pyr,
+            jnp.asarray(m.kf_R), jnp.asarray(m.kf_t),
+            m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels],
             jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
             cell_size=pl.grid_size, max_out=self.cfg.caps.max_fts)
@@ -382,7 +384,8 @@ class FrameHandlerMono:
                 jnp.asarray(m.ln_anchor_suv), jnp.asarray(m.ln_anchor_euv),
                 jnp.asarray(m.ln_anchor_sf), jnp.asarray(m.ln_anchor_ef),
                 jnp.asarray(m.ln_anchor_level),
-                jnp.asarray(m.kf_R), jnp.asarray(m.kf_t), m.kf_pyr, frame.pyr,
+                jnp.asarray(m.kf_R), jnp.asarray(m.kf_t),
+                m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels],
                 jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                 cell_size=pl.grid_size_segs, max_out=self.cfg.caps.max_segs)
@@ -486,11 +489,16 @@ class FrameHandlerMono:
         if len(lm_ids):
             order = np.argsort(m.pt_last_optim[lm_ids])
             sel = lm_ids[order[: pl.structureoptim_max_pts]]
-            obs = self._gather_pt_obs(sel)
+            # pad to the fixed budget: dynamic lengths would recompile
+            npad = pl.structureoptim_max_pts - len(sel)
+            sel_p = np.concatenate([sel, np.zeros(npad, sel.dtype)])
+            valid = np.zeros(pl.structureoptim_max_pts, bool)
+            valid[: len(sel)] = True
+            obs = self._gather_pt_obs(sel_p)
             pos, improved = struct_opt.optimize_points(
-                jnp.asarray(m.pt_pos[sel]), obs,
-                jnp.ones(len(sel), bool), n_iter=pl.structureoptim_num_iter)
-            m.pt_pos[sel] = jax.device_get(pos)
+                jnp.asarray(m.pt_pos[sel_p]), obs,
+                jnp.asarray(valid), n_iter=pl.structureoptim_num_iter)
+            m.pt_pos[sel] = jax.device_get(pos)[: len(sel)]
             m.pt_last_optim[sel] = frame.frame_id
 
         sl_ids = frame.seg_lm[frame.seg_valid & (frame.seg_lm >= 0)]
@@ -498,15 +506,19 @@ class FrameHandlerMono:
         if len(sl_ids):
             order = np.argsort(m.ln_last_optim[sl_ids])
             sel = sl_ids[order[: pl.structureoptim_max_segs]]
-            s_obs = self._gather_ln_obs(sel, start=True)
-            e_obs = self._gather_ln_obs(sel, start=False)
+            npad = pl.structureoptim_max_segs - len(sel)
+            sel_p = np.concatenate([sel, np.zeros(npad, sel.dtype)])
+            valid = np.zeros(pl.structureoptim_max_segs, bool)
+            valid[: len(sel)] = True
+            s_obs = self._gather_ln_obs(sel_p, start=True)
+            e_obs = self._gather_ln_obs(sel_p, start=False)
             sp, ep, _, _ = struct_opt.optimize_segments(
-                jnp.asarray(m.ln_spos[sel]), jnp.asarray(m.ln_epos[sel]),
-                s_obs, e_obs, jnp.ones(len(sel), bool),
+                jnp.asarray(m.ln_spos[sel_p]), jnp.asarray(m.ln_epos[sel_p]),
+                s_obs, e_obs, jnp.asarray(valid),
                 n_iter=pl.structureoptim_num_iter_segs)
             sp_np, ep_np = jax.device_get((sp, ep))
-            m.ln_spos[sel] = sp_np
-            m.ln_epos[sel] = ep_np
+            m.ln_spos[sel] = sp_np[: len(sel)]
+            m.ln_epos[sel] = ep_np[: len(sel)]
             m.ln_last_optim[sel] = frame.frame_id
 
     def _gather_pt_obs(self, rows: np.ndarray) -> struct_opt.StructObs:
@@ -602,64 +614,81 @@ class FrameHandlerMono:
         f = self._np_unproject(uv) if len(uv) else np.zeros((0, 3), np.float32)
 
         mu, sigma2, z_range = df.seed_init_params(d_mean, d_min)
-        seeds = self.pt_seeds
-        alive = np.asarray(seeds.alive)
-        free = np.where(~alive)[0][: len(uv)]
-        if len(free):
-            idx = jnp.asarray(free)
-            k = len(free)
-            # host mirrors of static columns (used by _harvest_seeds)
-            self._seed_host["kf_idx"][free] = kf_slot
-            self._seed_host["uv"][free] = uv[:k]
-            self._seed_host["f"][free] = f[:k]
-            self._seed_host["level"][free] = lvl[:k]
-            seeds = seeds._replace(
-                kf_idx=seeds.kf_idx.at[idx].set(kf_slot),
-                uv=seeds.uv.at[idx].set(jnp.asarray(uv[:k], jnp.float32)),
-                f=seeds.f.at[idx].set(jnp.asarray(f[:k], jnp.float32)),
-                level=seeds.level.at[idx].set(jnp.asarray(lvl[:k], jnp.int32)),
-                mu=seeds.mu.at[idx].set(mu),
-                sigma2=seeds.sigma2.at[idx].set(sigma2),
-                z_range=seeds.z_range.at[idx].set(z_range),
-                a=seeds.a.at[idx].set(10.0), b=seeds.b.at[idx].set(10.0),
-                batch_id=seeds.batch_id.at[idx].set(self.batch_counter),
-                alive=seeds.alive.at[idx].set(True))
-            self.pt_seeds = seeds
+        # Rebuild the whole seed table host-side and upload once: a dynamic-
+        # length .at[idx].set would recompile for every distinct free count.
+        cols = jax.device_get((
+            self.pt_seeds.mu, self.pt_seeds.sigma2, self.pt_seeds.z_range,
+            self.pt_seeds.a, self.pt_seeds.b, self.pt_seeds.batch_id,
+            self.pt_seeds.alive))
+        mu_h, s2_h, zr_h, a_h, b_h, bid_h, alive_h = [np.array(c) for c in cols]
+        free = np.where(~alive_h)[0][: len(uv)]
+        k = len(free)
+        if k:
+            sh = self._seed_host
+            sh["kf_idx"][free] = kf_slot
+            sh["uv"][free] = uv[:k]
+            sh["f"][free] = f[:k]
+            sh["level"][free] = lvl[:k]
+            mu_h[free] = mu
+            s2_h[free] = sigma2
+            zr_h[free] = z_range
+            a_h[free] = 10.0
+            b_h[free] = 10.0
+            bid_h[free] = self.batch_counter
+            alive_h[free] = True
+            self.pt_seeds = df.PointSeeds(
+                kf_idx=jnp.asarray(sh["kf_idx"]), uv=jnp.asarray(sh["uv"]),
+                f=jnp.asarray(sh["f"]), level=jnp.asarray(sh["level"]),
+                mu=jnp.asarray(mu_h), sigma2=jnp.asarray(s2_h),
+                z_range=jnp.asarray(zr_h), a=jnp.asarray(a_h),
+                b=jnp.asarray(b_h), batch_id=jnp.asarray(bid_h),
+                alive=jnp.asarray(alive_h))
 
         if segs is not None and self.cfg.pipeline.has_ls:
             sv = np.asarray(segs.valid)
             sp = np.asarray(segs.sp)[sv]
             ep = np.asarray(segs.ep)[sv]
-            lseeds = self.ln_seeds
-            lfree = np.where(~np.asarray(lseeds.alive))[0][: len(sp)]
-            if len(lfree):
-                k = len(lfree)
-                idx = jnp.asarray(lfree)
+            lcols = jax.device_get((
+                self.ln_seeds.mu_s, self.ln_seeds.sigma2_s, self.ln_seeds.z_range_s,
+                self.ln_seeds.mu_e, self.ln_seeds.sigma2_e, self.ln_seeds.z_range_e,
+                self.ln_seeds.a, self.ln_seeds.b, self.ln_seeds.batch_id,
+                self.ln_seeds.alive))
+            (mus_h, s2s_h, zrs_h, mue_h, s2e_h, zre_h,
+             la_h, lb_h, lbid_h, lalive_h) = [np.array(c) for c in lcols]
+            lfree = np.where(~lalive_h)[0][: len(sp)]
+            k = len(lfree)
+            if k:
                 sf = self._np_unproject(sp[:k])
                 ef = self._np_unproject(ep[:k])
-                self._lnseed_host["kf_idx"][lfree] = kf_slot
-                self._lnseed_host["s_uv"][lfree] = sp[:k]
-                self._lnseed_host["e_uv"][lfree] = ep[:k]
-                self._lnseed_host["sf"][lfree] = sf
-                self._lnseed_host["ef"][lfree] = ef
-                self._lnseed_host["level"][lfree] = 0
-                lseeds = lseeds._replace(
-                    kf_idx=lseeds.kf_idx.at[idx].set(kf_slot),
-                    s_uv=lseeds.s_uv.at[idx].set(jnp.asarray(sp[:k], jnp.float32)),
-                    e_uv=lseeds.e_uv.at[idx].set(jnp.asarray(ep[:k], jnp.float32)),
-                    sf=lseeds.sf.at[idx].set(jnp.asarray(sf, jnp.float32)),
-                    ef=lseeds.ef.at[idx].set(jnp.asarray(ef, jnp.float32)),
-                    level=lseeds.level.at[idx].set(0),
-                    mu_s=lseeds.mu_s.at[idx].set(mu),
-                    sigma2_s=lseeds.sigma2_s.at[idx].set(sigma2),
-                    z_range_s=lseeds.z_range_s.at[idx].set(z_range),
-                    mu_e=lseeds.mu_e.at[idx].set(mu),
-                    sigma2_e=lseeds.sigma2_e.at[idx].set(sigma2),
-                    z_range_e=lseeds.z_range_e.at[idx].set(z_range),
-                    a=lseeds.a.at[idx].set(10.0), b=lseeds.b.at[idx].set(10.0),
-                    batch_id=lseeds.batch_id.at[idx].set(self.batch_counter),
-                    alive=lseeds.alive.at[idx].set(True))
-                self.ln_seeds = lseeds
+                lh = self._lnseed_host
+                lh["kf_idx"][lfree] = kf_slot
+                lh["s_uv"][lfree] = sp[:k]
+                lh["e_uv"][lfree] = ep[:k]
+                lh["sf"][lfree] = sf
+                lh["ef"][lfree] = ef
+                lh["level"][lfree] = 0
+                mus_h[lfree] = mu
+                s2s_h[lfree] = sigma2
+                zrs_h[lfree] = z_range
+                mue_h[lfree] = mu
+                s2e_h[lfree] = sigma2
+                zre_h[lfree] = z_range
+                la_h[lfree] = 10.0
+                lb_h[lfree] = 10.0
+                lbid_h[lfree] = self.batch_counter
+                lalive_h[lfree] = True
+                self.ln_seeds = df.LineSeeds(
+                    kf_idx=jnp.asarray(lh["kf_idx"]),
+                    s_uv=jnp.asarray(lh["s_uv"]), e_uv=jnp.asarray(lh["e_uv"]),
+                    sf=jnp.asarray(lh["sf"]), ef=jnp.asarray(lh["ef"]),
+                    level=jnp.asarray(lh["level"]),
+                    mu_s=jnp.asarray(mus_h), sigma2_s=jnp.asarray(s2s_h),
+                    z_range_s=jnp.asarray(zrs_h),
+                    mu_e=jnp.asarray(mue_h), sigma2_e=jnp.asarray(s2e_h),
+                    z_range_e=jnp.asarray(zre_h),
+                    a=jnp.asarray(la_h), b=jnp.asarray(lb_h),
+                    batch_id=jnp.asarray(lbid_h), alive=jnp.asarray(lalive_h))
+                self._any_line_seeds = True
 
     def _update_seeds(self, frame: FrameState):
         """Per-frame batched seed update — the mapping-thread analogue."""
@@ -671,18 +700,20 @@ class FrameHandlerMono:
         R_w_cur = frame.R_f_w.T
         t_w_cur = -frame.R_f_w.T @ frame.t_f_w
         res = df.update_point_seeds(
-            self.pt_seeds, jnp.asarray(R_w), jnp.asarray(t_w), m.kf_pyr,
-            frame.pyr, jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
+            self.pt_seeds, jnp.asarray(R_w), jnp.asarray(t_w),
+            m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels],
+            jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
             jnp.asarray(self.batch_counter, jnp.int32),
             max_seed_kfs=pl.max_seed_kfs,
             sigma_conv_factor=pl.seed_convergence_sigma2_thresh)
         self.pt_seeds = res.seeds
         self._pt_converged_dev = (res.converged, res.depth_converged)
-        if pl.has_ls:
+        if pl.has_ls and self._any_line_seeds:
             lres = df.update_line_seeds(
-                self.ln_seeds, jnp.asarray(R_w), jnp.asarray(t_w), m.kf_pyr,
-                frame.pyr, jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
+                self.ln_seeds, jnp.asarray(R_w), jnp.asarray(t_w),
+                m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels],
+                jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                 jnp.asarray(self.batch_counter, jnp.int32),
                 max_seed_kfs=pl.max_seed_kfs,
