@@ -43,8 +43,10 @@ def main():
             [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
              [-np.sin(ang), 0, np.cos(ang)]], np.float32))
         ts_.append(np.asarray([0.03 * i, 0.008 * np.sin(0.3 * i), -2.0], np.float32))
-    imgs = np.asarray(synthetic.render_batch_aa(
-        scene, cam, np.stack(Rs), np.stack(ts_), ss=2))
+    # keep frames on device: fetching 36x1.4MB over the tunnel dwarfs
+    # everything else
+    imgs = synthetic.render_batch_aa(scene, cam, np.stack(Rs), np.stack(ts_), ss=2)
+    imgs.block_until_ready()
     print("rendered", file=sys.stderr)
 
     vo = FrameHandlerMono(cam, Config())

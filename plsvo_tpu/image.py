@@ -156,3 +156,59 @@ def shi_tomasi_score(img: jnp.ndarray, halfbox: int = 4) -> jnp.ndarray:
     disc = jnp.sqrt(jnp.maximum(tr * tr * 0.25 - det, 0.0))
     min_eig = 0.5 * tr - disc
     return min_eig / (2.0 * n)
+
+
+# ---------------------------------------------------------------------------
+# Pyramid atlas: all levels packed side-by-side into ONE image so that
+# per-feature level-dependent sampling becomes a single gather pass (instead
+# of evaluating every pyramid level and masking — the naive port of the
+# reference's per-level branches). Levels are separated by a 2-column gap of
+# zeros; sampling validity is enforced against the *level* bounds, so the
+# gap never bleeds into bilinear taps.
+# ---------------------------------------------------------------------------
+
+_ATLAS_GAP = 2
+
+
+def atlas_layout(shapes):
+    """shapes: list of (h_l, w_l). Returns (x_offsets (L,), H, W_total)."""
+    offs = []
+    x = 0
+    H = shapes[0][0]
+    for (h, w) in shapes:
+        offs.append(x)
+        x += w + _ATLAS_GAP
+    return offs, H, x
+
+
+def pack_pyramid_atlas(pyr):
+    """Pack a pyramid (list of (h_l,w_l) or (K,h_l,w_l) arrays) into one
+    atlas of shape (..., H0, W_total). Returns (atlas, x_offsets, sizes)
+    with x_offsets int32 (L,) and sizes int32 (L,2) as (h_l, w_l)."""
+    shapes = [p.shape[-2:] for p in pyr]
+    offs, H, Wt = atlas_layout(shapes)
+    lead = pyr[0].shape[:-2]
+    parts = []
+    for p, (h, w) in zip(pyr, shapes):
+        pad_h = H - h
+        parts.append(jnp.pad(p, [(0, 0)] * len(lead) + [(0, pad_h), (0, _ATLAS_GAP)]))
+    atlas = jnp.concatenate(parts, axis=-1)
+    x_offsets = jnp.asarray(offs, jnp.int32)
+    sizes = jnp.asarray(shapes, jnp.int32)
+    return atlas, x_offsets, sizes
+
+
+def bilinear_sample_atlas(atlas, x_offsets, sizes, uv_level, level):
+    """Sample level-`level` coords through the atlas.
+
+    atlas: (H, Wt); uv_level: (..., 2) coords in that level's pixel frame;
+    level: (...,) int32 broadcastable against uv_level[..., 0].
+    Returns (values, valid) with validity against the level bounds."""
+    h = sizes[level, 0].astype(uv_level.dtype)
+    w = sizes[level, 1].astype(uv_level.dtype)
+    u = uv_level[..., 0]
+    v = uv_level[..., 1]
+    valid = (u >= 0) & (v >= 0) & (u <= w - 1) & (v <= h - 1)
+    ua = u + x_offsets[level].astype(uv_level.dtype)
+    vals, ok = bilinear_sample(atlas, jnp.stack([ua, v], axis=-1))
+    return jnp.where(valid, vals, 0.0), valid & ok

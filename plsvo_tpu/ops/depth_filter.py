@@ -211,8 +211,12 @@ def update_point_seeds(
     A_ok = jnp.abs(detA) > 1e-6
     A_inv = jnp.linalg.inv(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
     slevel = matcher_ops.best_search_level(A, len(cur_pyr) - 1)
-    patches_b, warp_ok = matcher_ops.warp_patches_affine(
-        kf_pyr_stack, seeds.kf_idx, seeds.uv, seeds.level, A_inv, slevel,
+    from plsvo_tpu.image import pack_pyramid_atlas
+
+    kf_atlas, kx, ks = pack_pyramid_atlas(kf_pyr_stack)
+    cur_atlas, cxo, cso = pack_pyramid_atlas(cur_pyr)
+    patches_b, warp_ok = matcher_ops.warp_patches_affine_atlas(
+        kf_atlas, kx, ks, seeds.kf_idx, seeds.uv, seeds.level, A_inv, slevel,
         patch_size=patch_size)
     ref_patch, ref_dx, ref_dy = ref_patch_gradients(patches_b, patch_size)
 
@@ -226,22 +230,20 @@ def update_point_seeds(
     xyz_near = jnp.einsum("sij,sj->si", R_cr, seeds.f * d_min[:, None]) + t_cr
     search_valid = visible & warp_ok & A_ok & (xyz_far[:, 2] > 1e-3) & (xyz_near[:, 2] > 1e-3)
 
-    epi = matcher_ops.epipolar_search_zmssd(
-        cur_pyr, ref_patch, xyz_far, xyz_near, slevel, search_valid,
-        fx, fy, cx, cy, patch_size=patch_size, n_steps=n_epi_steps)
+    epi = matcher_ops.epipolar_search_zmssd_atlas(
+        cur_atlas, cxo, cso, ref_patch, xyz_far, xyz_near, slevel,
+        search_valid, fx, fy, cx, cy, patch_size=patch_size,
+        n_steps=n_epi_steps)
 
     # subpixel refinement at the search level, then triangulate
-    uv_ref_lvl = epi.uv_level
-    uv0 = jnp.zeros_like(uv_ref_lvl)
-    conv = jnp.zeros((S,), bool)
-    for lvl in range(len(cur_pyr)):
-        res = align2d(cur_pyr[lvl], ref_patch, ref_dx, ref_dy, uv_ref_lvl,
-                      epi.ok & (slevel == lvl), patch_size=patch_size, n_iter=10)
-        sel = slevel == lvl
-        scale_back = f32(1 << lvl)
-        uv0 = jnp.where(sel[:, None], res.uv * scale_back, uv0)
-        conv = jnp.where(sel, res.converged, conv)
-    matched = epi.ok & conv
+    from plsvo_tpu.ops.feature_align import align2d_atlas
+
+    res = align2d_atlas(
+        cur_atlas, cxo, cso, ref_patch, ref_dx, ref_dy, epi.uv_level,
+        slevel, epi.ok, patch_size=patch_size, n_iter=10)
+    scale_back = (1 << slevel).astype(f32)
+    uv0 = res.uv * scale_back[:, None]
+    matched = epi.ok & res.converged
 
     # bearing of the refined match in the CUR frame
     x_n = (uv0[:, 0] - cx) / fx

@@ -138,3 +138,53 @@ def align1d(
     pos = uv[:, None, :] + offs[None]
     _, ok = bilinear_sample(cur_img, pos)
     return AlignOut(uv=uv, converged=conv & valid & jnp.all(ok, axis=-1), mean_diff=md)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_iter"))
+def align2d_atlas(
+    atlas: jnp.ndarray,  # (H, Wa) packed pyramid (image.pack_pyramid_atlas)
+    x_off: jnp.ndarray,  # (L,)
+    sizes: jnp.ndarray,  # (L,2)
+    ref_patch: jnp.ndarray,  # (N, P)
+    ref_dx: jnp.ndarray,
+    ref_dy: jnp.ndarray,
+    uv_init: jnp.ndarray,  # (N,2) in each feature's OWN level coords
+    level: jnp.ndarray,  # (N,) int32
+    valid: jnp.ndarray,
+    *,
+    patch_size: int = 8,
+    n_iter: int = 10,
+    conv_eps: float = 0.03,
+) -> AlignOut:
+    """align2d with per-feature pyramid levels resolved through the atlas —
+    one gather pass instead of evaluating every level and masking."""
+    from plsvo_tpu.image import bilinear_sample_atlas
+
+    N, P = ref_patch.shape
+    f32 = jnp.float32
+    offs = patch_offsets(patch_size, f32)
+    ones = jnp.ones_like(ref_dx)
+    J = jnp.stack([ref_dx, ref_dy, ones], axis=-1)
+    H = jnp.einsum("npi,npj->nij", J, J)
+    Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(3, dtype=f32))
+    lvl_b = level[:, None]
+
+    def body(carry, _):
+        uv, mean_diff, conv = carry
+        pos = uv[:, None, :] + offs[None]
+        I_cur, ok = bilinear_sample_atlas(atlas, x_off, sizes, pos, lvl_b)
+        in_frame = jnp.all(ok, axis=-1)
+        r = I_cur - ref_patch + mean_diff[:, None]
+        b = jnp.einsum("npi,np->ni", J, r)
+        upd = jnp.einsum("nij,nj->ni", Hinv, b)
+        active = valid & in_frame & jnp.logical_not(conv)
+        uv_new = jnp.where(active[:, None], uv - upd[:, :2], uv)
+        md_new = jnp.where(active, mean_diff - upd[:, 2], mean_diff)
+        conv_new = conv | (active & (jnp.linalg.norm(upd[:, :2], axis=-1) < conv_eps))
+        return (uv_new, md_new, conv_new), None
+
+    init = (uv_init.astype(f32), jnp.zeros((N,), f32), jnp.zeros((N,), bool))
+    (uv, md, conv), _ = jax.lax.scan(body, init, None, length=n_iter)
+    pos = uv[:, None, :] + offs[None]
+    _, ok = bilinear_sample_atlas(atlas, x_off, sizes, pos, lvl_b)
+    return AlignOut(uv=uv, converged=conv & valid & jnp.all(ok, axis=-1), mean_diff=md)

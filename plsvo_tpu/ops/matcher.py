@@ -262,3 +262,139 @@ def find_match_direct(
         uv_out = jnp.where(sel[:, None], res.uv / scale, uv_out)
         conv_out = jnp.where(sel, res.converged, conv_out)
     return MatchResult(uv=uv_out, level=slevel, ok=conv_out & ok0)
+
+
+# ---------------------------------------------------------------------------
+# Atlas-based variants: per-feature pyramid levels resolved through a packed
+# pyramid atlas (image.pack_pyramid_atlas) — one gather pass for the whole
+# batch instead of a python loop over levels with masking. Same math as the
+# per-level versions above; used by the pipeline hot path.
+# ---------------------------------------------------------------------------
+from plsvo_tpu.image import bilinear_sample_atlas  # noqa: E402
+from plsvo_tpu.ops.feature_align import align2d_atlas  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("patch_size",))
+def warp_patches_affine_atlas(
+    kf_atlas: jnp.ndarray,  # (K, H, Wa)
+    x_off: jnp.ndarray, sizes: jnp.ndarray,
+    kf_idx: jnp.ndarray,  # (N,)
+    uv_ref: jnp.ndarray,  # (N,2) level-0 anchor px
+    level_ref: jnp.ndarray,  # (N,)
+    A_ref_cur: jnp.ndarray,  # (N,2,2)
+    search_level: jnp.ndarray,  # (N,)
+    patch_size: int = 8,
+):
+    """warp_patches_affine through each feature's own keyframe atlas."""
+    B = patch_size + 2
+    half = B / 2.0
+    r = jnp.arange(B, dtype=jnp.float32) - half + 0.5
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    offs = jnp.stack([ox.ravel(), oy.ravel()], -1)  # (B*B,2)
+
+    N = uv_ref.shape[0]
+    sl = (1 << search_level).astype(jnp.float32)[:, None, None]
+    offs_cur0 = offs[None] * sl
+    offs_ref = jnp.einsum("nij,npj->npi", A_ref_cur, offs_cur0)  # anchor-level units
+    scale_ref = 1.0 / (1 << level_ref).astype(jnp.float32)
+    pos = uv_ref[:, None, :] * scale_ref[:, None, None] + offs_ref  # (N,BB,2)
+
+    # flatten the keyframe axis into the atlas x-axis (super-atlas): avoids
+    # materializing a per-feature (N,H,Wa) gather of whole atlases
+    K, H, Wa = kf_atlas.shape
+    flat = jnp.swapaxes(kf_atlas, 0, 1).reshape(H, K * Wa)
+    lvl = level_ref[:, None]
+    h = sizes[lvl, 0].astype(jnp.float32)
+    w = sizes[lvl, 1].astype(jnp.float32)
+    u = pos[..., 0]
+    v = pos[..., 1]
+    in_level = (u >= 0) & (v >= 0) & (u <= w - 1) & (v <= h - 1)
+    ua = u + x_off[lvl].astype(jnp.float32) + (kf_idx[:, None] * Wa).astype(jnp.float32)
+    vals, ok = bilinear_sample(flat, jnp.stack([ua, v], -1))
+    vals = jnp.where(in_level, vals, 0.0)
+    return vals, jnp.all(in_level & ok, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_steps"))
+def epipolar_search_zmssd_atlas(
+    cur_atlas: jnp.ndarray, x_off: jnp.ndarray, sizes: jnp.ndarray,
+    ref_patch: jnp.ndarray,  # (N,P)
+    f_A: jnp.ndarray, f_B: jnp.ndarray,
+    search_level: jnp.ndarray,
+    valid: jnp.ndarray,
+    fx, fy, cx, cy,
+    *,
+    patch_size: int = 8,
+    n_steps: int = 64,
+    threshold_factor: float = 2000.0,
+) -> EpipolarResult:
+    """epipolar_search_zmssd with one atlas gather pass."""
+    N, P = ref_patch.shape
+    f32 = jnp.float32
+    uvA = f_A[..., :2] / f_A[..., 2:3]
+    uvB = f_B[..., :2] / f_B[..., 2:3]
+    alphas = jnp.linspace(0.0, 1.0, n_steps, dtype=f32)
+    uv_n = uvA[:, None, :] + alphas[None, :, None] * (uvB - uvA)[:, None, :]
+    px0 = jnp.stack([fx * uv_n[..., 0] + cx, fy * uv_n[..., 1] + cy], -1)
+
+    half = patch_size / 2.0
+    r = jnp.arange(patch_size, dtype=f32) - half + 0.5
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    offs = jnp.stack([ox.ravel(), oy.ravel()], -1)
+
+    scale = 1.0 / (1 << search_level).astype(f32)
+    pos = px0[..., None, :] * scale[:, None, None, None] + offs[None, None]
+    vals, ok = bilinear_sample_atlas(
+        cur_atlas, x_off, sizes, pos, search_level[:, None, None])
+    oks = jnp.all(ok, axis=-1)  # (N,S)
+    ref_zm = ref_patch - jnp.mean(ref_patch, axis=-1, keepdims=True)
+    cur_zm = vals - jnp.mean(vals, axis=-1, keepdims=True)
+    score = jnp.sum((ref_zm[:, None, :] - cur_zm) ** 2, axis=-1)
+    score = jnp.where(oks, score, jnp.inf)
+    best = jnp.min(score, axis=-1)
+    sidx = jnp.argmin(score, axis=-1)
+    uv_lvl = px0[jnp.arange(N), sidx] * scale[:, None]
+    ok_out = valid & (best < threshold_factor * P) & jnp.isfinite(best)
+    return EpipolarResult(uv_level=uv_lvl, zmssd=best, ok=ok_out)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_iter", "max_level"))
+def find_match_direct_atlas(
+    kf_atlas: jnp.ndarray, kf_x_off: jnp.ndarray, kf_sizes: jnp.ndarray,
+    cur_atlas: jnp.ndarray, cur_x_off: jnp.ndarray, cur_sizes: jnp.ndarray,
+    kf_idx: jnp.ndarray,
+    uv_ref: jnp.ndarray, f_ref: jnp.ndarray, depth_ref: jnp.ndarray,
+    level_ref: jnp.ndarray,
+    R_cur_ref: jnp.ndarray, t_cur_ref: jnp.ndarray,
+    uv_cur_init: jnp.ndarray, valid: jnp.ndarray,
+    fx, fy, cx, cy,
+    *,
+    patch_size: int = 8,
+    n_iter: int = 10,
+    max_level: int = 2,
+) -> MatchResult:
+    """find_match_direct with atlas sampling on both the anchor keyframes
+    and the current frame (single gather pass each)."""
+    N = uv_ref.shape[0]
+    A = jax.vmap(
+        lambda uv, f, d, lv, R, t: get_warp_affine(
+            fx, fy, cx, cy, uv[None], f[None], d[None], lv[None], R, t)[0]
+    )(uv_ref, f_ref, depth_ref, level_ref, R_cur_ref, t_cur_ref)
+    det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+    A_ok = jnp.abs(det) > 1e-6
+    A_inv = jnp.linalg.inv(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
+    slevel = best_search_level(A, max_level)
+
+    patches_b, warp_ok = warp_patches_affine_atlas(
+        kf_atlas, kf_x_off, kf_sizes, kf_idx, uv_ref, level_ref, A_inv,
+        slevel, patch_size=patch_size)
+    ref_patch, ref_dx, ref_dy = ref_patch_gradients(patches_b, patch_size)
+
+    ok0 = valid & warp_ok & A_ok
+    scale = 1.0 / (1 << slevel).astype(jnp.float32)
+    res = align2d_atlas(
+        cur_atlas, cur_x_off, cur_sizes, ref_patch, ref_dx, ref_dy,
+        uv_cur_init * scale[:, None], slevel, ok0,
+        patch_size=patch_size, n_iter=n_iter)
+    uv_out = res.uv / scale[:, None]
+    return MatchResult(uv=uv_out, level=slevel, ok=res.converged & ok0)

@@ -127,13 +127,14 @@ class FrameHandlerMono:
         self.permon.new_frame(self.frame_id)
         t_tot = time.perf_counter()
         with self.permon.timer("pyramid_creation"):
-            # upload as uint8 when possible (4x less tunnel bandwidth)
-            a = np.asarray(img)
-            if a.dtype != np.uint8 and a.dtype != np.float32:
-                a = a.astype(np.float32)
-            img_dev = jnp.asarray(a)
-            if img_dev.dtype == jnp.uint8:
-                img_dev = img_dev.astype(jnp.float32)
+            if isinstance(img, jnp.ndarray):
+                img_dev = img.astype(jnp.float32)  # already device-resident
+            else:
+                # upload as uint8 when possible (4x less tunnel bandwidth)
+                a = np.asarray(img)
+                if a.dtype != np.uint8 and a.dtype != np.float32:
+                    a = a.astype(np.float32)
+                img_dev = jnp.asarray(a).astype(jnp.float32)
             pyr = build_pyramid(img_dev, self.n_levels)
         if self.stage == STAGE_FIRST:
             res = self._process_first(pyr, timestamp)

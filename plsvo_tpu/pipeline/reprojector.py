@@ -21,6 +21,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
+from plsvo_tpu.image import pack_pyramid_atlas
 from plsvo_tpu.ops import matcher as matcher_ops
 from plsvo_tpu.ops.detection import grid_cells
 
@@ -104,8 +105,10 @@ def reproject_points(
     anchor_center = -jnp.einsum("mji,mj->mi", R_a, t_a)
     depth_ref = jnp.linalg.norm(pt_pos[lm] - anchor_center, axis=-1)
 
-    res = matcher_ops.find_match_direct(
-        kf_pyr_stack, cur_pyr,
+    kf_atlas, kx, ks = pack_pyramid_atlas(kf_pyr_stack)
+    cur_atlas, cx_, cs = pack_pyramid_atlas(cur_pyr)
+    res = matcher_ops.find_match_direct_atlas(
+        kf_atlas, kx, ks, cur_atlas, cx_, cs,
         akf_c, pt_anchor_uv[lm], pt_anchor_f[lm], depth_ref,
         pt_anchor_level[lm],
         R_ca, t_ca,
@@ -187,12 +190,16 @@ def reproject_segments(
     e_depth = jnp.linalg.norm(ln_epos[lm] - anchor_center, axis=-1)
 
     valid0 = sel & (akf >= 0)
-    res_s = matcher_ops.find_match_direct(
-        kf_pyr_stack, cur_pyr, akf_c, ln_anchor_suv[lm], ln_anchor_sf[lm],
+    kf_atlas, kx, ks = pack_pyramid_atlas(kf_pyr_stack)
+    cur_atlas, cx_, cs = pack_pyramid_atlas(cur_pyr)
+    res_s = matcher_ops.find_match_direct_atlas(
+        kf_atlas, kx, ks, cur_atlas, cx_, cs,
+        akf_c, ln_anchor_suv[lm], ln_anchor_sf[lm],
         s_depth, ln_anchor_level[lm], R_ca, t_ca, suv[lm], valid0,
         fx, fy, cx, cy, patch_size=patch_size, max_level=len(cur_pyr) - 1)
-    res_e = matcher_ops.find_match_direct(
-        kf_pyr_stack, cur_pyr, akf_c, ln_anchor_euv[lm], ln_anchor_ef[lm],
+    res_e = matcher_ops.find_match_direct_atlas(
+        kf_atlas, kx, ks, cur_atlas, cx_, cs,
+        akf_c, ln_anchor_euv[lm], ln_anchor_ef[lm],
         e_depth, ln_anchor_level[lm], R_ca, t_ca, euv[lm], valid0,
         fx, fy, cx, cy, patch_size=patch_size, max_level=len(cur_pyr) - 1)
     both = res_s.ok & res_e.ok & sel
