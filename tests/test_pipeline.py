@@ -160,3 +160,30 @@ def test_pipeline_local_ba_improves_or_keeps_map(sequence):
     ba.write_back_to_map(vo.map, out, meta)
     from plsvo_tpu.pipeline.state import validate_map
     assert validate_map(vo.map) == []
+
+
+def test_pipeline_relocalizes_after_blackout(sequence):
+    """Feeding garbage frames forces RESULT_FAILURE -> RELOCALIZING; valid
+    frames near the last keyframe recover tracking
+    (reference: frame_handler_mono.cpp:408-436, frame_handler_base.cpp:146-151)."""
+    from plsvo_tpu.pipeline.frame_handler import STAGE_RELOCALIZING
+
+    scene, poses, imgs = sequence
+    vo = FrameHandlerMono(CAM, fast_config())
+    # track the first 2/3 of the sequence
+    split = 2 * len(imgs) // 3
+    for i in range(split):
+        vo.add_image(imgs[i], i / 30.0)
+    assert vo.stage == STAGE_DEFAULT
+    # blackout
+    black = np.zeros_like(imgs[0])
+    r = vo.add_image(black, split / 30.0)
+    assert vo.stage == STAGE_RELOCALIZING
+    # resume near the pre-blackout pose: replay the last good frame region
+    recovered = False
+    for j in range(split - 2, len(imgs)):
+        r = vo.add_image(imgs[j], (j + 10) / 30.0)
+        if r.stage == STAGE_DEFAULT or (vo.stage == STAGE_DEFAULT):
+            recovered = True
+            break
+    assert recovered, "did not recover from relocalization"
