@@ -102,6 +102,8 @@ class FrameHandlerMono:
             "ef": np.zeros((caps.max_seed_segs, 3), np.float32),
             "level": np.zeros(caps.max_seed_segs, np.int32)}
         self._any_line_seeds = False
+        self._seed_alive = np.zeros(caps.max_seeds, bool)
+        self._lnseed_alive = np.zeros(caps.max_seed_segs, bool)
         # trace plane (reference permon channels, frame_handler_base.cpp:58-86)
         self.permon = PerformanceMonitor()
 
@@ -637,6 +639,7 @@ class FrameHandlerMono:
             b_h[free] = 10.0
             bid_h[free] = self.batch_counter
             alive_h[free] = True
+            self._seed_alive[free] = True
             self.pt_seeds = df.PointSeeds(
                 kf_idx=jnp.asarray(sh["kf_idx"]), uv=jnp.asarray(sh["uv"]),
                 f=jnp.asarray(sh["f"]), level=jnp.asarray(sh["level"]),
@@ -678,6 +681,7 @@ class FrameHandlerMono:
                 lb_h[lfree] = 10.0
                 lbid_h[lfree] = self.batch_counter
                 lalive_h[lfree] = True
+                self._lnseed_alive[lfree] = True
                 self.ln_seeds = df.LineSeeds(
                     kf_idx=jnp.asarray(lh["kf_idx"]),
                     s_uv=jnp.asarray(lh["s_uv"]), e_uv=jnp.asarray(lh["e_uv"]),
@@ -691,69 +695,137 @@ class FrameHandlerMono:
                     batch_id=jnp.asarray(lbid_h), alive=jnp.asarray(lalive_h))
                 self._any_line_seeds = True
 
+    @staticmethod
+    def _bucket(n: int, cap: int) -> int:
+        b = 32
+        while b < n and b < cap:
+            b *= 2
+        return min(b, cap)
+
     def _update_seeds(self, frame: FrameState):
-        """Per-frame batched seed update — the mapping-thread analogue."""
+        """Per-frame batched seed update — the mapping-thread analogue.
+
+        Seeds are compacted into the smallest power-of-2 bucket that holds
+        the alive rows (host mirror) so the dominant epipolar-search cost
+        scales with the LIVE seed count, not the table capacity; results
+        scatter back. At most log2 bucket sizes ever compile."""
         pl = self.cfg.pipeline
         m = self.map
-        # keyframe slots hold T_f_w; seeds need cam->world: invert
         R_w = np.swapaxes(m.kf_R, 1, 2)
         t_w = -np.einsum("kji,kj->ki", m.kf_R, m.kf_t)
         R_w_cur = frame.R_f_w.T
         t_w_cur = -frame.R_f_w.T @ frame.t_f_w
-        res = df.update_point_seeds(
-            self.pt_seeds, jnp.asarray(R_w), jnp.asarray(t_w),
-            m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels],
-            jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
-            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-            jnp.asarray(self.batch_counter, jnp.int32),
-            max_seed_kfs=pl.max_seed_kfs,
-            sigma_conv_factor=pl.seed_convergence_sigma2_thresh)
-        self.pt_seeds = res.seeds
-        self._pt_converged_dev = (res.converged, res.depth_converged)
-        if pl.has_ls and self._any_line_seeds:
-            lres = df.update_line_seeds(
-                self.ln_seeds, jnp.asarray(R_w), jnp.asarray(t_w),
-                m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels],
+        kw = dict(max_seed_kfs=pl.max_seed_kfs,
+                  sigma_conv_factor=pl.seed_convergence_sigma2_thresh)
+        pyrs = (m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels])
+
+        alive_idx = np.where(self._seed_alive)[0]
+        if len(alive_idx) == 0:
+            self._pt_converged_dev = None
+            self._pt_rows = alive_idx
+        else:
+            B = self._bucket(len(alive_idx), self.cfg.caps.max_seeds)
+            rows = np.zeros(B, np.int64)
+            rows[: len(alive_idx)] = alive_idx
+            rows_j = jnp.asarray(rows)
+            view = jax.tree.map(lambda a: a[rows_j], self.pt_seeds)
+            # mask out the padding rows
+            pad_alive = np.zeros(B, bool)
+            pad_alive[: len(alive_idx)] = True
+            view = view._replace(alive=view.alive & jnp.asarray(pad_alive))
+            res = df.update_point_seeds(
+                view, jnp.asarray(R_w), jnp.asarray(t_w), *pyrs,
                 jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                jnp.asarray(self.batch_counter, jnp.int32),
-                max_seed_kfs=pl.max_seed_kfs,
-                sigma_conv_factor=pl.seed_convergence_sigma2_thresh)
-            self.ln_seeds = lres.seeds
-            self._ln_converged_dev = (lres.converged, lres.depth_s, lres.depth_e)
-        else:
-            self._ln_converged_dev = None
+                jnp.asarray(self.batch_counter, jnp.int32), **kw)
+            # scatter dynamic columns back into the full table
+            ns = res.seeds
+            full = self.pt_seeds
+            self.pt_seeds = full._replace(
+                mu=full.mu.at[rows_j].set(ns.mu),
+                sigma2=full.sigma2.at[rows_j].set(ns.sigma2),
+                a=full.a.at[rows_j].set(ns.a),
+                b=full.b.at[rows_j].set(ns.b),
+                alive=full.alive.at[rows_j].set(ns.alive))
+            self._pt_converged_dev = (res.converged, res.depth_converged,
+                                      ns.alive)
+            self._pt_rows = rows[: len(alive_idx)]
+
+        self._ln_converged_dev = None
+        self._ln_rows = np.zeros(0, np.int64)
+        if pl.has_ls and self._any_line_seeds:
+            lalive_idx = np.where(self._lnseed_alive)[0]
+            if len(lalive_idx):
+                B = self._bucket(len(lalive_idx), self.cfg.caps.max_seed_segs)
+                rows = np.zeros(B, np.int64)
+                rows[: len(lalive_idx)] = lalive_idx
+                rows_j = jnp.asarray(rows)
+                view = jax.tree.map(lambda a: a[rows_j], self.ln_seeds)
+                pad_alive = np.zeros(B, bool)
+                pad_alive[: len(lalive_idx)] = True
+                view = view._replace(alive=view.alive & jnp.asarray(pad_alive))
+                lres = df.update_line_seeds(
+                    view, jnp.asarray(R_w), jnp.asarray(t_w), *pyrs,
+                    jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
+                    self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                    jnp.asarray(self.batch_counter, jnp.int32), **kw)
+                ns = lres.seeds
+                full = self.ln_seeds
+                self.ln_seeds = full._replace(
+                    mu_s=full.mu_s.at[rows_j].set(ns.mu_s),
+                    sigma2_s=full.sigma2_s.at[rows_j].set(ns.sigma2_s),
+                    mu_e=full.mu_e.at[rows_j].set(ns.mu_e),
+                    sigma2_e=full.sigma2_e.at[rows_j].set(ns.sigma2_e),
+                    a=full.a.at[rows_j].set(ns.a),
+                    b=full.b.at[rows_j].set(ns.b),
+                    alive=full.alive.at[rows_j].set(ns.alive))
+                self._ln_converged_dev = (lres.converged, lres.depth_s,
+                                          lres.depth_e, ns.alive)
+                self._ln_rows = rows[: len(lalive_idx)]
 
     def _harvest_seeds(self):
         """Converged seeds become CANDIDATE landmarks
         (depth_filter.cpp:333-355 + MapPointCandidates, map.cpp:285-309).
-        Static seed columns come from host mirrors — only the convergence
-        masks/depths are fetched (one small transfer)."""
+        Convergence masks arrive in bucket space; _pt_rows/_ln_rows map back
+        to full-table rows. Host alive-mirrors update from the same fetch."""
         m = self.map
+        fetch = []
+        if self._pt_converged_dev is not None:
+            fetch.append(self._pt_converged_dev)
         if self._ln_converged_dev is not None:
-            conv, depth, lconv, ds, de = jax.device_get(
-                self._pt_converged_dev + self._ln_converged_dev)
-        else:
-            conv, depth = jax.device_get(self._pt_converged_dev)
-            lconv = None
-        sh = self._seed_host
-        for i in np.where(conv)[0]:
-            k = sh["kf_idx"][i]
-            if not m.kf_occupied[k]:
-                continue
-            Rk, tk = m.kf_R[k], m.kf_t[k]
-            pos_w = Rk.T @ (sh["f"][i] * depth[i] - tk)
-            m.new_point(pos_w, int(k), sh["uv"][i], sh["f"][i],
-                        int(sh["level"][i]), status=ST_CANDIDATE)
-        if lconv is not None:
+            fetch.append(self._ln_converged_dev)
+        if not fetch:
+            return
+        got = jax.device_get(tuple(fetch))
+        gi = 0
+        if self._pt_converged_dev is not None:
+            conv, depth, alive_b = got[gi]
+            gi += 1
+            nrows = len(self._pt_rows)
+            self._seed_alive[self._pt_rows] = alive_b[:nrows]
+            sh = self._seed_host
+            for bi in np.where(conv[:nrows])[0]:
+                i = self._pt_rows[bi]
+                k = sh["kf_idx"][i]
+                if not m.kf_occupied[k]:
+                    continue
+                Rk, tk = m.kf_R[k], m.kf_t[k]
+                pos_w = Rk.T @ (sh["f"][i] * depth[bi] - tk)
+                m.new_point(pos_w, int(k), sh["uv"][i], sh["f"][i],
+                            int(sh["level"][i]), status=ST_CANDIDATE)
+        if self._ln_converged_dev is not None:
+            lconv, ds, de, lalive_b = got[gi]
+            nrows = len(self._ln_rows)
+            self._lnseed_alive[self._ln_rows] = lalive_b[:nrows]
             lh = self._lnseed_host
-            for i in np.where(lconv)[0]:
+            for bi in np.where(lconv[:nrows])[0]:
+                i = self._ln_rows[bi]
                 k = lh["kf_idx"][i]
                 if not m.kf_occupied[k]:
                     continue
                 Rk, tk = m.kf_R[k], m.kf_t[k]
-                spos = Rk.T @ (lh["sf"][i] * ds[i] - tk)
-                epos = Rk.T @ (lh["ef"][i] * de[i] - tk)
+                spos = Rk.T @ (lh["sf"][i] * ds[bi] - tk)
+                epos = Rk.T @ (lh["ef"][i] * de[bi] - tk)
                 m.new_line(spos, epos, int(k), lh["s_uv"][i], lh["e_uv"][i],
                            lh["sf"][i], lh["ef"][i], int(lh["level"][i]),
                            status=ST_CANDIDATE)
@@ -823,3 +895,6 @@ class FrameHandlerMono:
         self.last_frame = None
         self.first_frame = None
         self.batch_counter = 0
+        self._seed_alive[:] = False
+        self._lnseed_alive[:] = False
+        self._any_line_seeds = False

@@ -27,11 +27,17 @@ def save_state(vo, path: str):
             arrays[f"map.{name}"] = val
     for l, p in enumerate(m.kf_pyr):
         arrays[f"map.kf_pyr.{l}"] = np.asarray(p)
-    # seed tables
+    # seed tables + host mirrors
     for name, val in vo.pt_seeds._asdict().items():
         arrays[f"ptseed.{name}"] = np.asarray(val)
     for name, val in vo.ln_seeds._asdict().items():
         arrays[f"lnseed.{name}"] = np.asarray(val)
+    for name, val in vo._seed_host.items():
+        arrays[f"seedhost.{name}"] = val
+    for name, val in vo._lnseed_host.items():
+        arrays[f"lnseedhost.{name}"] = val
+    arrays["seed_alive"] = vo._seed_alive
+    arrays["lnseed_alive"] = vo._lnseed_alive
     # last frame
     lf = vo.last_frame
     if lf is not None:
@@ -55,6 +61,7 @@ def save_state(vo, path: str):
             "dist": np.asarray(vo.cam.dist).tolist(),
         },
         "has_last_frame": lf is not None,
+        "any_line_seeds": bool(vo._any_line_seeds),
     }
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
@@ -94,6 +101,16 @@ def load_state(path: str):
         n: jnp.asarray(z[f"ptseed.{n}"]) for n in vo.pt_seeds._fields})
     vo.ln_seeds = type(vo.ln_seeds)(**{
         n: jnp.asarray(z[f"lnseed.{n}"]) for n in vo.ln_seeds._fields})
+    for name in vo._seed_host:
+        if f"seedhost.{name}" in z.files:
+            vo._seed_host[name][...] = z[f"seedhost.{name}"]
+    for name in vo._lnseed_host:
+        if f"lnseedhost.{name}" in z.files:
+            vo._lnseed_host[name][...] = z[f"lnseedhost.{name}"]
+    if "seed_alive" in z.files:
+        vo._seed_alive[...] = z["seed_alive"]
+        vo._lnseed_alive[...] = z["lnseed_alive"]
+    vo._any_line_seeds = bool(meta.get("any_line_seeds", False))
 
     if meta["has_last_frame"]:
         fid, ts, is_kf = z["frame.meta"]

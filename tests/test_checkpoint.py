@@ -42,3 +42,26 @@ def test_checkpoint_resume_continues_identically(tmp_path, rng):
         rb = vo_b.add_image(imgs[i], i / 30.0)
         np.testing.assert_allclose(rb.t_f_w, ra.t_f_w, atol=1e-5)
         np.testing.assert_allclose(rb.R_f_w, ra.R_f_w, atol=1e-5)
+
+
+def test_checkpoint_preserves_seed_mirrors(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from plsvo_tpu.pipeline.frame_handler import FrameHandlerMono
+    from plsvo_tpu.utils import synthetic
+
+    CAM = PinholeCamera.create(320, 240, 250.0, 250.0, 160.0, 120.0)
+    scene = synthetic.make_scene(rng, size=1024)
+    vo = FrameHandlerMono(CAM, fast_config())
+    for i in range(14):
+        R = np.eye(3, dtype=np.float32)
+        t = np.asarray([0.025 * i, 0.0, -2.0], np.float32)
+        img, _ = synthetic.render_aa(scene, CAM, jnp.asarray(R), jnp.asarray(t))
+        vo.add_image(np.asarray(img), i / 30.0)
+    assert vo._seed_alive.sum() > 0
+    p = str(tmp_path / "c.npz")
+    checkpoint.save_state(vo, p)
+    vo2 = checkpoint.load_state(p)
+    np.testing.assert_array_equal(vo2._seed_alive, vo._seed_alive)
+    np.testing.assert_allclose(vo2._seed_host["uv"], vo._seed_host["uv"])
+    assert vo2._any_line_seeds == vo._any_line_seeds
