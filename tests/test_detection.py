@@ -36,7 +36,7 @@ def test_detect_fast_grid_on_synthetic(rng):
     from plsvo_tpu.camera import PinholeCamera
     from plsvo_tpu.utils import synthetic
 
-    scene = synthetic.make_scene(rng, size=1024)
+    scene = synthetic.make_scene(rng, size=512, n_blobs=180, n_rects=40)
     cam = PinholeCamera.create(320, 240, 250.0, 250.0, 160.0, 120.0)
     R = jnp.eye(3)
     t = jnp.asarray([0.0, 0.0, -1.5])
