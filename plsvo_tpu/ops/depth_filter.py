@@ -230,8 +230,8 @@ def update_point_seeds(
     xyz_near = jnp.einsum("sij,sj->si", R_cr, seeds.f * d_min[:, None]) + t_cr
     search_valid = visible & warp_ok & A_ok & (xyz_far[:, 2] > 1e-3) & (xyz_near[:, 2] > 1e-3)
 
-    epi = matcher_ops.epipolar_search_zmssd_atlas(
-        cur_atlas, cxo, cso, ref_patch, xyz_far, xyz_near, slevel,
+    epi = matcher_ops.epipolar_search_sliding_atlas(
+        cur_atlas, cxo, cso, patches_b, xyz_far, xyz_near, slevel,
         search_valid, fx, fy, cx, cy, patch_size=patch_size,
         n_steps=n_epi_steps)
 

@@ -398,3 +398,80 @@ def find_match_direct_atlas(
         patch_size=patch_size, n_iter=n_iter)
     uv_out = res.uv / scale[:, None]
     return MatchResult(uv=uv_out, level=slevel, ok=res.converged & ok0)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_steps"))
+def epipolar_search_sliding_atlas(
+    cur_atlas: jnp.ndarray, x_off: jnp.ndarray, sizes: jnp.ndarray,
+    ref_patch_border: jnp.ndarray,  # (N, (P+2)^2) bordered axis-aligned patches
+    f_A: jnp.ndarray, f_B: jnp.ndarray,  # cur-frame rays of depth extremes
+    search_level: jnp.ndarray,
+    valid: jnp.ndarray,
+    fx, fy, cx, cy,
+    *,
+    patch_size: int = 8,
+    n_steps: int = 48,
+    threshold_factor: float = 2000.0,
+) -> EpipolarResult:
+    """Sliding-window epipolar ZMSSD: the band is sampled ONCE as a
+    (n_steps+P) x P window in epipolar-rotated coordinates (1px steps at the
+    search level, like the reference's 0.7px walk, matcher.cpp:347-360);
+    each step's patch is a slice of the window — ~Px fewer image taps than
+    sampling an independent patch per step. The reference patch is resampled
+    at the rotated offsets from its bordered axis-aligned warp."""
+    N = ref_patch_border.shape[0]
+    P = patch_size
+    PP = P * P
+    f32 = jnp.float32
+
+    uvA0 = jnp.stack([fx * f_A[:, 0] / f_A[:, 2] + cx,
+                      fy * f_A[:, 1] / f_A[:, 2] + cy], -1)
+    uvB0 = jnp.stack([fx * f_B[:, 0] / f_B[:, 2] + cx,
+                      fy * f_B[:, 1] / f_B[:, 2] + cy], -1)
+    scale = 1.0 / (1 << search_level).astype(f32)
+    uvA = uvA0 * scale[:, None]
+    uvB = uvB0 * scale[:, None]
+    band = jnp.linalg.norm(uvB - uvA, axis=-1)  # px at search level
+    d = (uvB - uvA) / jnp.maximum(band, 1e-6)[:, None]
+    d = jnp.where(band[:, None] > 1e-6, d, jnp.asarray([[1.0, 0.0]], f32))
+    nvec = jnp.stack([-d[:, 1], d[:, 0]], -1)
+
+    # window samples: rows i along the epipolar dir, cols j across
+    W_rows = n_steps + P
+    ii = jnp.arange(W_rows, dtype=f32) - (P / 2.0 - 0.5)
+    jj = jnp.arange(P, dtype=f32) - (P / 2.0 - 0.5)
+    pos = (uvA[:, None, None, :]
+           + d[:, None, None, :] * ii[None, :, None, None]
+           + nvec[:, None, None, :] * jj[None, None, :, None])  # (N,WR,P,2)
+    win, ok = bilinear_sample_atlas(
+        cur_atlas, x_off, sizes, pos, search_level[:, None, None])
+
+    # rotated resampling of the bordered ref patch (tiny local gather)
+    B = P + 2
+    center = (B - 1) / 2.0
+    from plsvo_tpu.image import patch_offsets
+
+    offs = patch_offsets(P, f32)  # (PP,2) in (along, across) order
+    rot = (d[:, None, :] * offs[None, :, 0:1]
+           + nvec[:, None, :] * offs[None, :, 1:2])  # (N,PP,2)
+    ref_imgs = ref_patch_border.reshape(N, B, B)
+    rpos = rot + center
+    ref_rot, rok = jax.vmap(bilinear_sample)(ref_imgs, rpos)
+    ref_ok = jnp.all(rok, axis=-1)
+
+    # sliding ZMSSD: patch for step s = window rows s..s+P-1
+    s_idx = jnp.arange(n_steps)[:, None] + jnp.arange(P)[None, :]  # (S,P)
+    patches = win[:, s_idx, :]  # (N,S,P,P)
+    pok = jnp.all(ok[:, s_idx, :], axis=(2, 3))  # (N,S)
+    step_on = (jnp.arange(n_steps, dtype=f32)[None, :]
+               <= jnp.maximum(band, 1.0)[:, None])
+    pflat = patches.reshape(N, n_steps, PP)
+    cur_zm = pflat - jnp.mean(pflat, axis=-1, keepdims=True)
+    ref_zm = ref_rot - jnp.mean(ref_rot, axis=-1, keepdims=True)
+    score = jnp.sum((ref_zm[:, None, :] - cur_zm) ** 2, axis=-1)
+    score = jnp.where(pok & step_on, score, jnp.inf)
+    best = jnp.min(score, axis=-1)
+    sbest = jnp.argmin(score, axis=-1).astype(f32)
+    uv_lvl = uvA + d * sbest[:, None]
+    ok_out = valid & ref_ok & (best < threshold_factor * PP) & jnp.isfinite(best)
+    return EpipolarResult(uv_level=uv_lvl, zmssd=best, ok=ok_out)

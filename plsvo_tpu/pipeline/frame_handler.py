@@ -166,7 +166,12 @@ class FrameHandlerMono:
             score_threshold=pl.triang_min_corner_score)
         segs = None
         if pl.has_ls:
-            det = line_ops.detect_segments(pyr[0], n_peaks=64)
+            # detect on level 1 (half res) — the Hough accumulator scatter
+            # is 4x cheaper and endpoint precision is refined downstream by
+            # the depth filter's subpixel alignment anyway
+            det = line_ops.detect_segments(pyr[1], n_peaks=64)
+            det = det._replace(sp=det.sp * 2.0, ep=det.ep * 2.0,
+                               length=det.length * 2.0)
             W, H = self.cam.width, self.cam.height
             min_len = pl.lsd_min_length * min(W, H)
             segs, _ = line_ops.dedup_segments_grid(
