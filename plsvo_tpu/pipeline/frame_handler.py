@@ -379,6 +379,8 @@ class FrameHandlerMono:
             jnp.asarray(m.pt_pos), jnp.asarray(m.pt_status),
             jnp.asarray(m.pt_anchor_kf), jnp.asarray(m.pt_anchor_uv),
             jnp.asarray(m.pt_anchor_f), jnp.asarray(m.pt_anchor_level),
+            jnp.asarray(m.pt_obs_kf), jnp.asarray(m.pt_obs_uv),
+            jnp.asarray(m.pt_obs_f), jnp.asarray(m.pt_obs_level),
             jnp.asarray(m.kf_R), jnp.asarray(m.kf_t),
             m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels],
             jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),

@@ -57,6 +57,10 @@ def reproject_points(
     pt_anchor_uv: jnp.ndarray,  # (P,2)
     pt_anchor_f: jnp.ndarray,  # (P,3)
     pt_anchor_level: jnp.ndarray,  # (P,)
+    pt_obs_kf: jnp.ndarray,  # (P,O) observation slots (for min-angle anchor)
+    pt_obs_uv: jnp.ndarray,  # (P,O,2)
+    pt_obs_f: jnp.ndarray,  # (P,O,3)
+    pt_obs_level: jnp.ndarray,  # (P,O)
     kf_R: jnp.ndarray,  # (K,3,3) T_f_w
     kf_t: jnp.ndarray,  # (K,3)
     kf_pyr_stack: Sequence[jnp.ndarray],
@@ -93,8 +97,36 @@ def reproject_points(
     src, sel = masked_compact(is_winner, max_out)
     lm = src  # landmark rows
 
+    # ---- min-view-angle observation as the warp anchor ----
+    # (reference: Feature3D::getCloseViewObs, feature3D.cpp:80-125 — pick
+    # the stored observation whose viewing direction is closest to the
+    # current one; falls back to the creation anchor when no obs slot wins)
+    obs_kf_l = pt_obs_kf[lm]  # (M,O)
+    obs_ok = obs_kf_l >= 0
+    okf_c = jnp.maximum(obs_kf_l, 0)
+    obs_center = -jnp.einsum("moji,moj->moi", kf_R[okf_c], kf_t[okf_c])  # (M,O,3)
+    cur_center = -jnp.einsum("ji,j->i", R_cur, t_cur)
+    dir_cur = pt_pos[lm] - cur_center[None]
+    dir_cur = dir_cur / jnp.maximum(
+        jnp.linalg.norm(dir_cur, axis=-1, keepdims=True), 1e-9)
+    dir_obs = pt_pos[lm][:, None, :] - obs_center
+    dir_obs = dir_obs / jnp.maximum(
+        jnp.linalg.norm(dir_obs, axis=-1, keepdims=True), 1e-9)
+    cosang = jnp.sum(dir_obs * dir_cur[:, None, :], axis=-1)
+    cosang = jnp.where(obs_ok, cosang, -2.0)
+    best_o = jnp.argmax(cosang, axis=-1)  # (M,)
+    has_obs = jnp.take_along_axis(obs_ok, best_o[:, None], 1)[:, 0]
+    mi = jnp.arange(lm.shape[0])
+    sel_kf = obs_kf_l[mi, best_o]
+    sel_uv = pt_obs_uv[lm][mi, best_o]
+    sel_f = pt_obs_f[lm][mi, best_o]
+    sel_level = pt_obs_level[lm][mi, best_o]
+    akf = jnp.where(has_obs, sel_kf, pt_anchor_kf[lm])
+    a_uv = jnp.where(has_obs[:, None], sel_uv, pt_anchor_uv[lm])
+    a_f = jnp.where(has_obs[:, None], sel_f, pt_anchor_f[lm])
+    a_level = jnp.where(has_obs, sel_level, pt_anchor_level[lm])
+
     # ---- batched refinement (find_match_direct) ----
-    akf = pt_anchor_kf[lm]
     akf_c = jnp.maximum(akf, 0)
     R_a = kf_R[akf_c]  # (M,3,3) T_f_w of anchor
     t_a = kf_t[akf_c]
@@ -109,8 +141,8 @@ def reproject_points(
     cur_atlas, cx_, cs = pack_pyramid_atlas(cur_pyr)
     res = matcher_ops.find_match_direct_atlas(
         kf_atlas, kx, ks, cur_atlas, cx_, cs,
-        akf_c, pt_anchor_uv[lm], pt_anchor_f[lm], depth_ref,
-        pt_anchor_level[lm],
+        akf_c, a_uv, a_f, depth_ref,
+        a_level,
         R_ca, t_ca,
         uv[lm], sel & (akf >= 0),
         fx, fy, cx, cy,

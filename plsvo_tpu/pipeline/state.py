@@ -130,6 +130,8 @@ class MapState:
         self.pt_anchor_level = np.zeros(P, np.int32)
         self.pt_obs_kf = np.full((P, O), -1, np.int32)
         self.pt_obs_f = np.zeros((P, O, 3), np.float32)
+        self.pt_obs_uv = np.zeros((P, O, 2), np.float32)
+        self.pt_obs_level = np.zeros((P, O), np.int32)
         self.pt_obs_ptr = np.zeros(P, np.int32)
 
         # line-segment landmarks (endpoints)
@@ -201,7 +203,8 @@ class MapState:
         # register observations + refresh anchors to this (newest) keyframe
         for i in np.where(frame.pt_valid & (frame.pt_lm >= 0))[0]:
             lm = frame.pt_lm[i]
-            self._add_pt_obs(lm, slot, frame.pt_f[i])
+            self._add_pt_obs(lm, slot, frame.pt_f[i], frame.pt_uv[i],
+                             int(frame.pt_level[i]))
             self.pt_anchor_kf[lm] = slot
             self.pt_anchor_uv[lm] = frame.pt_uv[i]
             self.pt_anchor_f[lm] = frame.pt_f[i]
@@ -232,10 +235,14 @@ class MapState:
         self.ln_obs_kf[self.ln_obs_kf == slot] = -1
 
     # ---- landmark management -------------------------------------------
-    def _add_pt_obs(self, lm: int, kf_slot: int, f: np.ndarray):
+    def _add_pt_obs(self, lm: int, kf_slot: int, f: np.ndarray,
+                    uv: np.ndarray = None, level: int = 0):
         p = self.pt_obs_ptr[lm] % self.cfg.caps.max_obs_per_landmark
         self.pt_obs_kf[lm, p] = kf_slot
         self.pt_obs_f[lm, p] = f
+        if uv is not None:
+            self.pt_obs_uv[lm, p] = uv
+        self.pt_obs_level[lm, p] = level
         self.pt_obs_ptr[lm] += 1
 
     def _add_ln_obs(self, lm: int, kf_slot: int, sf: np.ndarray, ef: np.ndarray):
@@ -270,7 +277,7 @@ class MapState:
         self.pt_anchor_level[r] = level
         self.pt_obs_kf[r] = -1
         self.pt_obs_ptr[r] = 0
-        self._add_pt_obs(r, kf_slot, f)
+        self._add_pt_obs(r, kf_slot, f, uv, level)
         return r
 
     def new_line(self, spos_w, epos_w, kf_slot, suv, euv, sf, ef, level,
