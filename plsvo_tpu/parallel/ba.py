@@ -294,3 +294,5 @@ def write_back_to_map(map_state, prob: BAProblem, meta):
     m.pt_pos[meta["pt_rows"]] = np_pos[:npts]
     m.ln_spos[meta["ln_rows"]] = np_pos[npts: npts + nln]
     m.ln_epos[meta["ln_rows"]] = np_pos[npts + nln: npts + 2 * nln]
+    if hasattr(m, "invalidate"):
+        m.invalidate()

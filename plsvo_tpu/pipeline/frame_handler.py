@@ -376,12 +376,12 @@ class FrameHandlerMono:
         pl = self.cfg.pipeline
         m = self.map
         rres_dev = reprojector.reproject_points(
-            jnp.asarray(m.pt_pos), jnp.asarray(m.pt_status),
-            jnp.asarray(m.pt_anchor_kf), jnp.asarray(m.pt_anchor_uv),
-            jnp.asarray(m.pt_anchor_f), jnp.asarray(m.pt_anchor_level),
-            jnp.asarray(m.pt_obs_kf), jnp.asarray(m.pt_obs_uv),
-            jnp.asarray(m.pt_obs_f), jnp.asarray(m.pt_obs_level),
-            jnp.asarray(m.kf_R), jnp.asarray(m.kf_t),
+            m.dev("pt_pos"), m.dev("pt_status"),
+            m.dev("pt_anchor_kf"), m.dev("pt_anchor_uv"),
+            m.dev("pt_anchor_f"), m.dev("pt_anchor_level"),
+            m.dev("pt_obs_kf"), m.dev("pt_obs_uv"),
+            m.dev("pt_obs_f"), m.dev("pt_obs_level"),
+            m.dev("kf_R"), m.dev("kf_t"),
             m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels],
             jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
@@ -389,12 +389,12 @@ class FrameHandlerMono:
         sres_dev = None
         if pl.has_ls:
             sres_dev = reprojector.reproject_segments(
-                jnp.asarray(m.ln_spos), jnp.asarray(m.ln_epos),
-                jnp.asarray(m.ln_status), jnp.asarray(m.ln_anchor_kf),
-                jnp.asarray(m.ln_anchor_suv), jnp.asarray(m.ln_anchor_euv),
-                jnp.asarray(m.ln_anchor_sf), jnp.asarray(m.ln_anchor_ef),
-                jnp.asarray(m.ln_anchor_level),
-                jnp.asarray(m.kf_R), jnp.asarray(m.kf_t),
+                m.dev("ln_spos"), m.dev("ln_epos"),
+                m.dev("ln_status"), m.dev("ln_anchor_kf"),
+                m.dev("ln_anchor_suv"), m.dev("ln_anchor_euv"),
+                m.dev("ln_anchor_sf"), m.dev("ln_anchor_ef"),
+                m.dev("ln_anchor_level"),
+                m.dev("kf_R"), m.dev("kf_t"),
                 m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels],
                 jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
@@ -416,6 +416,8 @@ class FrameHandlerMono:
         m.pt_status[cand_dead | unk_dead] = ST_DELETED
         promote = (m.pt_status == ST_UNKNOWN) & (m.pt_n_succ > 10)
         m.pt_status[promote] = ST_GOOD
+        if (cand_dead | unk_dead | promote).any():
+            m.invalidate("pt_status")
 
         keep = matched & (m.pt_status[lm] != ST_DELETED)
         rows = np.where(keep)[0][: self.cfg.caps.max_fts]
@@ -437,7 +439,10 @@ class FrameHandlerMono:
             c_dead = (m.ln_status == ST_CANDIDATE) & (m.ln_n_fail > 30)
             u_dead = (m.ln_status == ST_UNKNOWN) & (m.ln_n_fail > 15)
             m.ln_status[c_dead | u_dead] = ST_DELETED
-            m.ln_status[(m.ln_status == ST_UNKNOWN) & (m.ln_n_succ > 10)] = ST_GOOD
+            lprom = (m.ln_status == ST_UNKNOWN) & (m.ln_n_succ > 10)
+            m.ln_status[lprom] = ST_GOOD
+            if (c_dead | u_dead | lprom).any():
+                m.invalidate("ln_status")
 
             skeep = smat & (m.ln_status[slm] != ST_DELETED)
             srows = np.where(skeep)[0][: self.cfg.caps.max_segs]
@@ -510,6 +515,7 @@ class FrameHandlerMono:
                 jnp.asarray(valid), n_iter=pl.structureoptim_num_iter)
             m.pt_pos[sel] = jax.device_get(pos)[: len(sel)]
             m.pt_last_optim[sel] = frame.frame_id
+            m.invalidate("pt_pos")
 
         sl_ids = frame.seg_lm[frame.seg_valid & (frame.seg_lm >= 0)]
         sl_ids = np.unique(sl_ids)
@@ -530,6 +536,7 @@ class FrameHandlerMono:
             m.ln_spos[sel] = sp_np[: len(sel)]
             m.ln_epos[sel] = ep_np[: len(sel)]
             m.ln_last_optim[sel] = frame.frame_id
+            m.invalidate("ln_spos", "ln_epos")
 
     def _gather_pt_obs(self, rows: np.ndarray) -> struct_opt.StructObs:
         m = self.map

@@ -152,6 +152,22 @@ class MapState:
         self.ln_obs_ef = np.zeros((L, O, 3), np.float32)
         self.ln_obs_ptr = np.zeros(L, np.int32)
 
+        # device-side cache of host tables; invalidated explicitly by the
+        # mutators so per-frame stages skip re-uploading unchanged tables
+        self._dev: dict = {}
+
+    def dev(self, name: str):
+        """Device copy of a host table, cached until invalidated."""
+        if name not in self._dev:
+            self._dev[name] = jnp.asarray(getattr(self, name))
+        return self._dev[name]
+
+    def invalidate(self, *names: str):
+        if not names:
+            self._dev.clear()
+        for n in names:
+            self._dev.pop(n, None)
+
     # ---- keyframe management -------------------------------------------
     def n_keyframes(self) -> int:
         return int(self.kf_occupied.sum())
@@ -187,6 +203,7 @@ class MapState:
         self.kf_frame_id[slot] = frame.frame_id
         self.kf_R[slot] = frame.R_f_w
         self.kf_t[slot] = frame.t_f_w
+        self.invalidate()  # keyframe install touches poses/anchors/obs
         for l in range(self.n_levels):
             self.kf_pyr[l] = self.kf_pyr[l].at[slot].set(frame.pyr[l])
         self.kf_pt_uv[slot] = frame.pt_uv
@@ -228,6 +245,7 @@ class MapState:
         self.kf_frame_id[slot] = -1
         self.kf_pt_lm[slot] = -1
         self.kf_seg_lm[slot] = -1
+        self.invalidate()
         self.pt_status[self.pt_anchor_kf == slot] = ST_DELETED
         self.ln_status[self.ln_anchor_kf == slot] = ST_DELETED
         # invalidate obs slots referring to the removed keyframe
@@ -278,6 +296,9 @@ class MapState:
         self.pt_obs_kf[r] = -1
         self.pt_obs_ptr[r] = 0
         self._add_pt_obs(r, kf_slot, f, uv, level)
+        self.invalidate("pt_pos", "pt_status", "pt_anchor_kf", "pt_anchor_uv",
+                        "pt_anchor_f", "pt_anchor_level", "pt_obs_kf",
+                        "pt_obs_uv", "pt_obs_f", "pt_obs_level")
         return r
 
     def new_line(self, spos_w, epos_w, kf_slot, suv, euv, sf, ef, level,
@@ -301,6 +322,10 @@ class MapState:
         self.ln_obs_kf[r] = -1
         self.ln_obs_ptr[r] = 0
         self._add_ln_obs(r, kf_slot, sf, ef)
+        self.invalidate("ln_spos", "ln_epos", "ln_status", "ln_anchor_kf",
+                        "ln_anchor_suv", "ln_anchor_euv", "ln_anchor_sf",
+                        "ln_anchor_ef", "ln_anchor_level", "ln_obs_kf",
+                        "ln_obs_sf", "ln_obs_ef")
         return r
 
     def scene_depth(self, frame: FrameState):

@@ -97,6 +97,7 @@ def load_state(path: str):
         elif key.startswith("map."):
             name = key[4:]
             getattr(m, name)[...] = z[key]
+    m.invalidate()
     vo.pt_seeds = type(vo.pt_seeds)(**{
         n: jnp.asarray(z[f"ptseed.{n}"]) for n in vo.pt_seeds._fields})
     vo.ln_seeds = type(vo.ln_seeds)(**{
