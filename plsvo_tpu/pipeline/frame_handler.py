@@ -37,7 +37,7 @@ from plsvo_tpu.ops import lines as line_ops
 from plsvo_tpu.ops import pose_opt, sparse_align, struct_opt
 from plsvo_tpu.pipeline.state import (
     FrameState, MapState, ST_CANDIDATE, ST_DELETED, ST_GOOD, ST_UNKNOWN)
-from plsvo_tpu.pipeline import reprojector
+from plsvo_tpu.pipeline import fused, reprojector
 from plsvo_tpu.utils.profiling import PerformanceMonitor
 
 STAGE_PAUSED = "paused"
@@ -301,50 +301,154 @@ class FrameHandlerMono:
             fx=self.cam.fx, fy=self.cam.fy, cx=self.cam.cx, cy=self.cam.cy)
         return pts, segs
 
+    def _last_tables(self, frame: FrameState) -> fused.LastFrameTables:
+        """Device upload of the last frame's feature tables with landmark
+        ranges recomputed (sparse_img_align.cpp:230-232)."""
+        m = self.map
+        center = frame.cam_center_w()
+        pv = frame.pt_valid & (frame.pt_lm >= 0)
+        lm = np.where(pv, frame.pt_lm, 0)
+        alive = pv & (m.pt_status[lm] > 0)
+        depth = np.linalg.norm(m.pt_pos[lm] - center[None], axis=-1)
+        sv = frame.seg_valid & (frame.seg_lm >= 0)
+        slm = np.where(sv, frame.seg_lm, 0)
+        alive_s = sv & (m.ln_status[slm] > 0)
+        sd = np.linalg.norm(m.ln_spos[slm] - center[None], axis=-1)
+        ed = np.linalg.norm(m.ln_epos[slm] - center[None], axis=-1)
+        return fused.LastFrameTables(
+            pt_uv=jnp.asarray(frame.pt_uv), pt_f=jnp.asarray(frame.pt_f),
+            pt_depth=jnp.asarray(depth, jnp.float32), pt_valid=jnp.asarray(alive),
+            seg_suv=jnp.asarray(frame.seg_suv), seg_euv=jnp.asarray(frame.seg_euv),
+            seg_sf=jnp.asarray(frame.seg_sf), seg_ef=jnp.asarray(frame.seg_ef),
+            seg_sdepth=jnp.asarray(sd, jnp.float32),
+            seg_edepth=jnp.asarray(ed, jnp.float32),
+            seg_valid=jnp.asarray(alive_s))
+
+    def _map_tables(self) -> fused.MapTables:
+        m = self.map
+        return fused.MapTables(
+            pt_pos=m.dev("pt_pos"), pt_status=m.dev("pt_status"),
+            pt_anchor_kf=m.dev("pt_anchor_kf"), pt_anchor_uv=m.dev("pt_anchor_uv"),
+            pt_anchor_f=m.dev("pt_anchor_f"),
+            pt_anchor_level=m.dev("pt_anchor_level"),
+            pt_obs_kf=m.dev("pt_obs_kf"), pt_obs_uv=m.dev("pt_obs_uv"),
+            pt_obs_f=m.dev("pt_obs_f"), pt_obs_level=m.dev("pt_obs_level"),
+            ln_spos=m.dev("ln_spos"), ln_epos=m.dev("ln_epos"),
+            ln_status=m.dev("ln_status"), ln_anchor_kf=m.dev("ln_anchor_kf"),
+            ln_anchor_suv=m.dev("ln_anchor_suv"),
+            ln_anchor_euv=m.dev("ln_anchor_euv"),
+            ln_anchor_sf=m.dev("ln_anchor_sf"),
+            ln_anchor_ef=m.dev("ln_anchor_ef"),
+            ln_anchor_level=m.dev("ln_anchor_level"),
+            kf_R=m.dev("kf_R"), kf_t=m.dev("kf_t"))
+
     def _process_frame(self, pyr, ts) -> FrameResult:
         pl = self.cfg.pipeline
         last = self.last_frame
         frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
                                  last.R_f_w.copy(), last.t_f_w.copy())
+        m = self.map
 
-        # --- 1. sparse image alignment (frame_handler_mono.cpp:266-274) ---
+        # --- fused device core: align -> reproject -> pose opt ---
         with self.permon.timer("sparse_img_align"):
-            pts_in, segs_in = self._align_inputs_from_frame(last)
+            lt = self._last_tables(last)
+            mt = self._map_tables()
             levels = tuple(range(pl.klt_max_level, pl.klt_min_level - 1, -1))
-            ares = sparse_align.sparse_img_align(
-                last.pyr, pyr, pts_in, segs_in,
-                jnp.eye(3), jnp.zeros(3),  # T_cur_from_last init = identity
+            res_dev = fused.track_frame_core(
+                last.pyr, pyr, m.kf_pyr[: pl.n_pyr_levels], lt,
+                jnp.asarray(last.R_f_w), jnp.asarray(last.t_f_w), mt,
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                levels=levels, n_iter=pl.img_align_n_iter,
-                patch_size=pl.img_align_patch_size)
-        R_cl, t_cl, seg_alive = jax.device_get(
-            (ares.R, ares.t, ares.seg_alive))
-        frame.R_f_w = (R_cl @ last.R_f_w).astype(np.float32)
-        frame.t_f_w = (R_cl @ last.t_f_w + t_cl).astype(np.float32)
+                levels=levels, n_iter_align=pl.img_align_n_iter,
+                patch_align=pl.img_align_patch_size,
+                cell_size=pl.grid_size, cell_size_segs=pl.grid_size_segs,
+                max_pts_out=self.cfg.caps.max_fts,
+                max_segs_out=self.cfg.caps.max_segs,
+                n_line_samples=self.cfg.caps.n_line_samples,
+                poseopt_iters=pl.poseoptim_num_iter,
+                poseopt_thresh=pl.poseoptim_thresh,
+                n_pyr_use=pl.n_pyr_levels, has_ls=pl.has_ls)
+        with self.permon.timer("reproject"):
+            res = jax.device_get(res_dev)
+
+        # --- host bookkeeping (same rules as the staged path) ---
         # lines dropped by the photometric gate lose their landmark link
-        drop = last.seg_valid & ~seg_alive
+        drop = last.seg_valid & ~res.align_seg_alive
         last.seg_lm[drop] = -1
 
-        # --- 2. reproject map (frame_handler_mono.cpp:307-321) ---
-        with self.permon.timer("reproject"):
-            n_pt, n_seg = self._reproject_and_fill(frame)
-        if n_pt < pl.quality_min_fts:
-            # tracking failed: keep last pose, go relocalize
-            # (frame_handler_mono.cpp:315-321)
+        pt = res.pt
+        lm = pt.lm_idx
+        matched = pt.matched
+        sel = pt.selected
+        m.pt_n_succ[lm[matched]] += 1
+        m.pt_n_fail[lm[sel & ~matched]] += 1
+        cand_dead = (m.pt_status == ST_CANDIDATE) & (m.pt_n_fail > 30)
+        unk_dead = (m.pt_status == ST_UNKNOWN) & (m.pt_n_fail > 15)
+        m.pt_status[cand_dead | unk_dead] = ST_DELETED
+        promote = (m.pt_status == ST_UNKNOWN) & (m.pt_n_succ > 10)
+        m.pt_status[promote] = ST_GOOD
+        if (cand_dead | unk_dead | promote).any():
+            m.invalidate("pt_status")
+
+        n_pt_gate = int(matched.sum())
+        keep = matched & res.pt_inlier & (m.pt_status[lm] != ST_DELETED)
+        rows = np.where(keep)[0][: self.cfg.caps.max_fts]
+        n_pt = len(rows)
+        frame.pt_uv[:n_pt] = pt.uv[rows]
+        frame.pt_f[:n_pt] = res.pt_f_cur[rows]
+        frame.pt_level[:n_pt] = pt.level[rows]
+        frame.pt_lm[:n_pt] = lm[rows]
+        frame.pt_valid[:] = False
+        frame.pt_valid[:n_pt] = True
+
+        n_seg = 0
+        if pl.has_ls:
+            seg = res.seg
+            slm = seg.lm_idx
+            smat = seg.matched
+            ssel = seg.selected
+            m.ln_n_succ[slm[smat]] += 1
+            m.ln_n_fail[slm[ssel & ~smat]] += 1
+            c_dead = (m.ln_status == ST_CANDIDATE) & (m.ln_n_fail > 30)
+            u_dead = (m.ln_status == ST_UNKNOWN) & (m.ln_n_fail > 15)
+            m.ln_status[c_dead | u_dead] = ST_DELETED
+            lprom = (m.ln_status == ST_UNKNOWN) & (m.ln_n_succ > 10)
+            m.ln_status[lprom] = ST_GOOD
+            if (c_dead | u_dead | lprom).any():
+                m.invalidate("ln_status")
+            skeep = smat & res.seg_inlier & (m.ln_status[slm] != ST_DELETED)
+            srows = np.where(skeep)[0][: self.cfg.caps.max_segs]
+            n_seg = len(srows)
+            frame.seg_suv[:n_seg] = seg.s_uv[srows]
+            frame.seg_euv[:n_seg] = seg.e_uv[srows]
+            frame.seg_sf[:n_seg] = res.seg_sf_cur[srows]
+            frame.seg_ef[:n_seg] = res.seg_ef_cur[srows]
+            frame.seg_line[:n_seg] = res.seg_line_cur[srows]
+            frame.seg_level[:n_seg] = seg.level[srows]
+            frame.seg_lm[:n_seg] = slm[srows]
+            frame.seg_valid[:] = False
+            frame.seg_valid[:n_seg] = True
+
+        if n_pt_gate < pl.quality_min_fts:
+            # tracking failed (frame_handler_mono.cpp:315-321)
             frame.R_f_w, frame.t_f_w = last.R_f_w.copy(), last.t_f_w.copy()
             self.stage = STAGE_RELOCALIZING
             return FrameResult(frame.frame_id, STAGE_DEFAULT, QUALITY_INSUFFICIENT,
-                               n_pt, n_seg, False, frame.R_f_w, frame.t_f_w)
+                               n_pt_gate, n_seg, False, frame.R_f_w, frame.t_f_w)
 
-        # --- 3. pose optimization (frame_handler_mono.cpp:327-336) ---
-        with self.permon.timer("pose_optimizer"):
-            self._pose_optimize(frame)
+        # accept the optimized pose (host Gram-Schmidt drift control)
+        R = res.R_f_w
+        x = R[0] / max(np.linalg.norm(R[0]), 1e-12)
+        y = R[1] - np.dot(x, R[1]) * x
+        y = y / max(np.linalg.norm(y), 1e-12)
+        frame.R_f_w = np.stack([x, y, np.cross(x, y)]).astype(np.float32)
+        frame.t_f_w = res.t_f_w.astype(np.float32)
+        frame.cov = res.cov
 
-        # --- 4. structure optimization (frame_handler_base.cpp:202-237) ---
+        # --- structure optimization (frame_handler_base.cpp:202-237) ---
         with self.permon.timer("point_optimizer"):
             self._structure_optimize(frame)
 
-        # --- 5. quality + keyframe decision ---
+        # --- quality + keyframe decision ---
         quality = self._tracking_quality(frame, n_pt)
         if quality == QUALITY_BAD:
             frame.R_f_w, frame.t_f_w = last.R_f_w.copy(), last.t_f_w.copy()
@@ -358,7 +462,7 @@ class FrameHandlerMono:
         if need_kf:
             frame.is_keyframe = True
             self._make_keyframe(frame, d_mean, d_min)
-        # --- 6. depth-filter update on every frame ---
+        # --- depth-filter update on every frame ---
         with self.permon.timer("depth_filter"):
             self._update_seeds(frame)
             self._harvest_seeds()

@@ -1,0 +1,187 @@
+"""Fused DEFAULT-frame core: sparse alignment -> reprojection -> pose
+optimization as ONE jitted dispatch with ONE result fetch.
+
+The staged path (frame_handler calling each op separately) pays tunnel +
+launch latency per stage; at ~2-3 fps steady state those overheads rival
+the math. This module chains the already-jittable stage functions inside a
+single jit so XLA sees the whole frame and the host syncs once. The depth
+filter stays a separate dispatch (it runs after the host keyframe
+decision), and all bookkeeping (counters, deletion rules, table fills)
+remains host-side numpy exactly as in the staged path.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from plsvo_tpu.ops import pose_opt, sparse_align
+from plsvo_tpu.pipeline import reprojector
+
+
+class LastFrameTables(NamedTuple):
+    """The previous frame's feature tables (uploaded per frame; small)."""
+
+    pt_uv: jnp.ndarray  # (F,2)
+    pt_f: jnp.ndarray  # (F,3)
+    pt_depth: jnp.ndarray  # (F,) range to landmark (host-computed)
+    pt_valid: jnp.ndarray  # (F,)
+    seg_suv: jnp.ndarray  # (G,2)
+    seg_euv: jnp.ndarray
+    seg_sf: jnp.ndarray
+    seg_ef: jnp.ndarray
+    seg_sdepth: jnp.ndarray
+    seg_edepth: jnp.ndarray
+    seg_valid: jnp.ndarray
+
+
+class MapTables(NamedTuple):
+    """Device-cached map tables consumed by the fused core."""
+
+    pt_pos: jnp.ndarray
+    pt_status: jnp.ndarray
+    pt_anchor_kf: jnp.ndarray
+    pt_anchor_uv: jnp.ndarray
+    pt_anchor_f: jnp.ndarray
+    pt_anchor_level: jnp.ndarray
+    pt_obs_kf: jnp.ndarray
+    pt_obs_uv: jnp.ndarray
+    pt_obs_f: jnp.ndarray
+    pt_obs_level: jnp.ndarray
+    ln_spos: jnp.ndarray
+    ln_epos: jnp.ndarray
+    ln_status: jnp.ndarray
+    ln_anchor_kf: jnp.ndarray
+    ln_anchor_suv: jnp.ndarray
+    ln_anchor_euv: jnp.ndarray
+    ln_anchor_sf: jnp.ndarray
+    ln_anchor_ef: jnp.ndarray
+    ln_anchor_level: jnp.ndarray
+    kf_R: jnp.ndarray
+    kf_t: jnp.ndarray
+
+
+class FusedResult(NamedTuple):
+    R_f_w: jnp.ndarray  # pose after pose optimization
+    t_f_w: jnp.ndarray
+    cov: jnp.ndarray
+    align_seg_alive: jnp.ndarray  # (G,) of the LAST frame
+    # point reprojection + pose-opt verdicts (reproject row space)
+    pt: reprojector.ReprojResult
+    pt_inlier: jnp.ndarray  # (M,)
+    pt_f_cur: jnp.ndarray  # (M,3)
+    # segment reprojection
+    seg: reprojector.ReprojSegResult
+    seg_inlier: jnp.ndarray
+    seg_sf_cur: jnp.ndarray
+    seg_ef_cur: jnp.ndarray
+    seg_line_cur: jnp.ndarray
+
+
+def _unproject(uv, fx, fy, cx, cy):
+    x = (uv[..., 0] - cx) / fx
+    y = (uv[..., 1] - cy) / fy
+    f = jnp.stack([x, y, jnp.ones_like(x)], -1)
+    return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=(
+    "levels", "n_iter_align", "patch_align", "cell_size", "cell_size_segs",
+    "max_pts_out", "max_segs_out", "n_line_samples", "poseopt_iters",
+    "poseopt_thresh", "n_pyr_use", "has_ls"))
+def track_frame_core(
+    last_pyr: Sequence[jnp.ndarray],
+    cur_pyr: Sequence[jnp.ndarray],
+    kf_pyr: Sequence[jnp.ndarray],  # stacks (K,h,w), first n_pyr_use levels
+    last: LastFrameTables,
+    R_last: jnp.ndarray, t_last: jnp.ndarray,  # T_f_w of last frame
+    mt: MapTables,
+    fx, fy, cx, cy,
+    *,
+    levels: Tuple[int, ...],
+    n_iter_align: int = 30,
+    patch_align: int = 4,
+    cell_size: int = 25,
+    cell_size_segs: int = 25,
+    max_pts_out: int = 192,
+    max_segs_out: int = 96,
+    n_line_samples: int = 8,
+    poseopt_iters: int = 10,
+    poseopt_thresh: float = 2.0,
+    n_pyr_use: int = 3,
+    has_ls: bool = True,
+) -> FusedResult:
+    # ---- 1. sparse image alignment against the last frame ----
+    pts_in = sparse_align.AlignPoints(
+        xyz_ref=last.pt_f * last.pt_depth[:, None],
+        uv_ref=last.pt_uv, valid=last.pt_valid)
+    segs_in = sparse_align.make_align_segments(
+        last.seg_suv, last.seg_euv, last.seg_sf, last.seg_ef,
+        last.seg_sdepth, last.seg_edepth, last.seg_valid,
+        n_samples=n_line_samples, fx=fx, fy=fy, cx=cx, cy=cy)
+    ares = sparse_align.sparse_img_align(
+        last_pyr, cur_pyr, pts_in, segs_in, jnp.eye(3), jnp.zeros(3),
+        fx, fy, cx, cy, levels=levels, n_iter=n_iter_align,
+        patch_size=patch_align)
+    R_cur = ares.R @ R_last
+    t_cur = ares.R @ t_last + ares.t
+
+    cur_sub = cur_pyr[:n_pyr_use]
+
+    # ---- 2. reprojection + batched refinement ----
+    pt_res = reprojector.reproject_points(
+        mt.pt_pos, mt.pt_status, mt.pt_anchor_kf, mt.pt_anchor_uv,
+        mt.pt_anchor_f, mt.pt_anchor_level, mt.pt_obs_kf, mt.pt_obs_uv,
+        mt.pt_obs_f, mt.pt_obs_level, mt.kf_R, mt.kf_t,
+        kf_pyr, cur_sub, R_cur, t_cur, fx, fy, cx, cy,
+        cell_size=cell_size, max_out=max_pts_out)
+    pt_f_cur = _unproject(pt_res.uv, fx, fy, cx, cy)
+
+    if has_ls:
+        seg_res = reprojector.reproject_segments(
+            mt.ln_spos, mt.ln_epos, mt.ln_status, mt.ln_anchor_kf,
+            mt.ln_anchor_suv, mt.ln_anchor_euv, mt.ln_anchor_sf,
+            mt.ln_anchor_ef, mt.ln_anchor_level, mt.kf_R, mt.kf_t,
+            kf_pyr, cur_sub, R_cur, t_cur, fx, fy, cx, cy,
+            cell_size=cell_size_segs, max_out=max_segs_out)
+        seg_sf_cur = _unproject(seg_res.s_uv, fx, fy, cx, cy)
+        seg_ef_cur = _unproject(seg_res.e_uv, fx, fy, cx, cy)
+        seg_line = pose_opt.line_coeffs_from_bearings(seg_sf_cur, seg_ef_cur)
+        seg_valid_po = seg_res.matched
+        seg_spos = mt.ln_spos[seg_res.lm_idx]
+        seg_epos = mt.ln_epos[seg_res.lm_idx]
+        seg_level_po = seg_res.level
+    else:
+        M = max_segs_out
+        seg_res = reprojector.ReprojSegResult(
+            lm_idx=jnp.zeros(M, jnp.int32), selected=jnp.zeros(M, bool),
+            s_uv=jnp.zeros((M, 2)), e_uv=jnp.zeros((M, 2)),
+            level=jnp.zeros(M, jnp.int32), matched=jnp.zeros(M, bool),
+            n_attempts=jnp.zeros((), jnp.int32),
+            n_matches=jnp.zeros((), jnp.int32))
+        seg_sf_cur = jnp.zeros((M, 3))
+        seg_ef_cur = jnp.zeros((M, 3))
+        seg_line = jnp.zeros((M, 3))
+        seg_valid_po = jnp.zeros(M, bool)
+        seg_spos = jnp.zeros((M, 3))
+        seg_epos = jnp.zeros((M, 3))
+        seg_level_po = jnp.zeros(M, jnp.int32)
+
+    # ---- 3. pose optimization on the matched features ----
+    inp = pose_opt.PoseOptInputs(
+        pt_f=pt_f_cur, pt_level=pt_res.level,
+        pt_pos_w=mt.pt_pos[pt_res.lm_idx], pt_valid=pt_res.matched,
+        seg_line=seg_line, seg_level=seg_level_po,
+        seg_spos_w=seg_spos, seg_epos_w=seg_epos, seg_valid=seg_valid_po)
+    pres = pose_opt.optimize_pose(
+        inp, R_cur, t_cur, fx, n_iter=poseopt_iters,
+        reproj_thresh=poseopt_thresh)
+
+    return FusedResult(
+        R_f_w=pres.R, t_f_w=pres.t, cov=pres.cov,
+        align_seg_alive=ares.seg_alive,
+        pt=pt_res, pt_inlier=pres.pt_inlier, pt_f_cur=pt_f_cur,
+        seg=seg_res, seg_inlier=pres.seg_inlier,
+        seg_sf_cur=seg_sf_cur, seg_ef_cur=seg_ef_cur, seg_line_cur=seg_line)
