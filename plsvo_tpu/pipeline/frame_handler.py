@@ -472,133 +472,6 @@ class FrameHandlerMono:
                            need_kf, frame.R_f_w, frame.t_f_w)
 
     # ------------------------------------------------------------------
-    def _reproject_and_fill(self, frame: FrameState):
-        """Reproject landmarks, refine, fill the frame's feature tables and
-        update landmark quality counters (reprojector.cpp:286-308).
-        One batched device fetch per feature class; all fill logic is
-        vectorized host numpy."""
-        pl = self.cfg.pipeline
-        m = self.map
-        rres_dev = reprojector.reproject_points(
-            m.dev("pt_pos"), m.dev("pt_status"),
-            m.dev("pt_anchor_kf"), m.dev("pt_anchor_uv"),
-            m.dev("pt_anchor_f"), m.dev("pt_anchor_level"),
-            m.dev("pt_obs_kf"), m.dev("pt_obs_uv"),
-            m.dev("pt_obs_f"), m.dev("pt_obs_level"),
-            m.dev("kf_R"), m.dev("kf_t"),
-            m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels],
-            jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
-            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-            cell_size=pl.grid_size, max_out=self.cfg.caps.max_fts)
-        sres_dev = None
-        if pl.has_ls:
-            sres_dev = reprojector.reproject_segments(
-                m.dev("ln_spos"), m.dev("ln_epos"),
-                m.dev("ln_status"), m.dev("ln_anchor_kf"),
-                m.dev("ln_anchor_suv"), m.dev("ln_anchor_euv"),
-                m.dev("ln_anchor_sf"), m.dev("ln_anchor_ef"),
-                m.dev("ln_anchor_level"),
-                m.dev("kf_R"), m.dev("kf_t"),
-                m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels],
-                jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
-                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                cell_size=pl.grid_size_segs, max_out=self.cfg.caps.max_segs)
-        fetched = jax.device_get((rres_dev, sres_dev))
-        rres, sres = fetched
-
-        sel = rres.selected
-        matched = rres.matched
-        lm = rres.lm_idx
-        uv = rres.uv
-        level = rres.level
-
-        # quality counters + deletion rules (reprojector.cpp:292-308,352-370)
-        m.pt_n_succ[lm[matched]] += 1
-        m.pt_n_fail[lm[sel & ~matched]] += 1
-        cand_dead = (m.pt_status == ST_CANDIDATE) & (m.pt_n_fail > 30)
-        unk_dead = (m.pt_status == ST_UNKNOWN) & (m.pt_n_fail > 15)
-        m.pt_status[cand_dead | unk_dead] = ST_DELETED
-        promote = (m.pt_status == ST_UNKNOWN) & (m.pt_n_succ > 10)
-        m.pt_status[promote] = ST_GOOD
-        if (cand_dead | unk_dead | promote).any():
-            m.invalidate("pt_status")
-
-        keep = matched & (m.pt_status[lm] != ST_DELETED)
-        rows = np.where(keep)[0][: self.cfg.caps.max_fts]
-        n_pt = len(rows)
-        frame.pt_uv[:n_pt] = uv[rows]
-        frame.pt_f[:n_pt] = self._np_unproject(uv[rows]) if n_pt else 0
-        frame.pt_level[:n_pt] = level[rows]
-        frame.pt_lm[:n_pt] = lm[rows]
-        frame.pt_valid[:] = False
-        frame.pt_valid[:n_pt] = True
-
-        n_seg = 0
-        if sres is not None:
-            ssel = sres.selected
-            smat = sres.matched
-            slm = sres.lm_idx
-            m.ln_n_succ[slm[smat]] += 1
-            m.ln_n_fail[slm[ssel & ~smat]] += 1
-            c_dead = (m.ln_status == ST_CANDIDATE) & (m.ln_n_fail > 30)
-            u_dead = (m.ln_status == ST_UNKNOWN) & (m.ln_n_fail > 15)
-            m.ln_status[c_dead | u_dead] = ST_DELETED
-            lprom = (m.ln_status == ST_UNKNOWN) & (m.ln_n_succ > 10)
-            m.ln_status[lprom] = ST_GOOD
-            if (c_dead | u_dead | lprom).any():
-                m.invalidate("ln_status")
-
-            skeep = smat & (m.ln_status[slm] != ST_DELETED)
-            srows = np.where(skeep)[0][: self.cfg.caps.max_segs]
-            n_seg = len(srows)
-            if n_seg:
-                s_uv = sres.s_uv[srows]
-                e_uv = sres.e_uv[srows]
-                sf = self._np_unproject(s_uv)
-                ef = self._np_unproject(e_uv)
-                frame.seg_suv[:n_seg] = s_uv
-                frame.seg_euv[:n_seg] = e_uv
-                frame.seg_sf[:n_seg] = sf
-                frame.seg_ef[:n_seg] = ef
-                frame.seg_line[:n_seg] = self._np_line_coeffs(sf, ef)
-                frame.seg_level[:n_seg] = sres.level[srows]
-                frame.seg_lm[:n_seg] = slm[srows]
-            frame.seg_valid[:] = False
-            frame.seg_valid[:n_seg] = True
-        return n_pt, n_seg
-
-    def _pose_optimize(self, frame: FrameState):
-        pl = self.cfg.pipeline
-        m = self.map
-        lm = np.where(frame.pt_valid, frame.pt_lm, 0)
-        slm = np.where(frame.seg_valid, frame.seg_lm, 0)
-        inp = pose_opt.PoseOptInputs(
-            pt_f=jnp.asarray(frame.pt_f), pt_level=jnp.asarray(frame.pt_level),
-            pt_pos_w=jnp.asarray(m.pt_pos[lm]),
-            pt_valid=jnp.asarray(frame.pt_valid),
-            seg_line=jnp.asarray(frame.seg_line),
-            seg_level=jnp.asarray(frame.seg_level),
-            seg_spos_w=jnp.asarray(m.ln_spos[slm]),
-            seg_epos_w=jnp.asarray(m.ln_epos[slm]),
-            seg_valid=jnp.asarray(frame.seg_valid))
-        res_dev = pose_opt.optimize_pose(
-            inp, jnp.asarray(frame.R_f_w), jnp.asarray(frame.t_f_w),
-            self.cam.fx, n_iter=pl.poseoptim_num_iter,
-            reproj_thresh=pl.poseoptim_thresh)
-        res = jax.device_get(res_dev)
-
-        # host Gram-Schmidt re-orthonormalization (numpy: no device trip)
-        R = res.R
-        x = R[0] / max(np.linalg.norm(R[0]), 1e-12)
-        y = R[1] - np.dot(x, R[1]) * x
-        y = y / max(np.linalg.norm(y), 1e-12)
-        frame.R_f_w = np.stack([x, y, np.cross(x, y)]).astype(np.float32)
-        frame.t_f_w = res.t.astype(np.float32)
-        frame.cov = res.cov
-        # outliers lose their landmark link (pose_optimizer.cpp:201-242)
-        frame.pt_valid &= res.pt_inlier
-        frame.seg_valid &= res.seg_inlier
-
     def _structure_optimize(self, frame: FrameState):
         pl = self.cfg.pipeline
         m = self.map
