@@ -342,33 +342,52 @@ class FrameHandlerMono:
             ln_anchor_level=m.dev("ln_anchor_level"),
             kf_R=m.dev("kf_R"), kf_t=m.dev("kf_t"))
 
+    def _fused_kwargs(self):
+        pl = self.cfg.pipeline
+        return dict(
+            levels=tuple(range(pl.klt_max_level, pl.klt_min_level - 1, -1)),
+            n_iter_align=pl.img_align_n_iter,
+            patch_align=pl.img_align_patch_size,
+            cell_size=pl.grid_size, cell_size_segs=pl.grid_size_segs,
+            max_pts_out=self.cfg.caps.max_fts,
+            max_segs_out=self.cfg.caps.max_segs,
+            n_line_samples=self.cfg.caps.n_line_samples,
+            poseopt_iters=pl.poseoptim_num_iter,
+            poseopt_thresh=pl.poseoptim_thresh,
+            n_pyr_use=pl.n_pyr_levels, has_ls=pl.has_ls)
+
+    def _fused_inputs(self, pyr):
+        """Positional device inputs of fused.track_frame_core for this
+        sequence's current frame."""
+        pl = self.cfg.pipeline
+        last = self.last_frame
+        return (
+            last.pyr, pyr, self.map.kf_pyr[: pl.n_pyr_levels],
+            self._last_tables(last),
+            jnp.asarray(last.R_f_w), jnp.asarray(last.t_f_w),
+            self._map_tables(),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy)
+
     def _process_frame(self, pyr, ts) -> FrameResult:
         pl = self.cfg.pipeline
         last = self.last_frame
         frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
                                  last.R_f_w.copy(), last.t_f_w.copy())
-        m = self.map
 
         # --- fused device core: align -> reproject -> pose opt ---
         with self.permon.timer("sparse_img_align"):
-            lt = self._last_tables(last)
-            mt = self._map_tables()
-            levels = tuple(range(pl.klt_max_level, pl.klt_min_level - 1, -1))
             res_dev = fused.track_frame_core(
-                last.pyr, pyr, m.kf_pyr[: pl.n_pyr_levels], lt,
-                jnp.asarray(last.R_f_w), jnp.asarray(last.t_f_w), mt,
-                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                levels=levels, n_iter_align=pl.img_align_n_iter,
-                patch_align=pl.img_align_patch_size,
-                cell_size=pl.grid_size, cell_size_segs=pl.grid_size_segs,
-                max_pts_out=self.cfg.caps.max_fts,
-                max_segs_out=self.cfg.caps.max_segs,
-                n_line_samples=self.cfg.caps.n_line_samples,
-                poseopt_iters=pl.poseoptim_num_iter,
-                poseopt_thresh=pl.poseoptim_thresh,
-                n_pyr_use=pl.n_pyr_levels, has_ls=pl.has_ls)
+                *self._fused_inputs(pyr), **self._fused_kwargs())
         with self.permon.timer("reproject"):
             res = jax.device_get(res_dev)
+        return self._post_fused(frame, res)
+
+    def _post_fused(self, frame: FrameState, res) -> FrameResult:
+        """Host bookkeeping after the fused core (counters, deletion rules,
+        table fills, structure opt, KF policy, depth filter)."""
+        pl = self.cfg.pipeline
+        last = self.last_frame
+        m = self.map
 
         # --- host bookkeeping (same rules as the staged path) ---
         # lines dropped by the photometric gate lose their landmark link

@@ -1,0 +1,66 @@
+"""Batched multi-sequence runner (BASELINE config 4): tracking B sequences
+through the vmapped fused core must match tracking them individually."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plsvo_tpu.camera import PinholeCamera
+from plsvo_tpu.config import fast_config
+from plsvo_tpu.parallel.multi_vo import BatchedVO
+from plsvo_tpu.pipeline.frame_handler import STAGE_DEFAULT, FrameHandlerMono
+from plsvo_tpu.utils import synthetic
+
+CAM = PinholeCamera.create(320, 240, 250.0, 250.0, 160.0, 120.0)
+
+
+def make_sequences(rng, B=2, n_frames=18):
+    seqs = []
+    for b in range(B):
+        scene = synthetic.make_scene(rng, size=1024)
+        imgs = []
+        for i in range(n_frames):
+            R = np.eye(3, dtype=np.float32)
+            t = np.asarray([0.025 * i, 0.004 * b * i, -2.0], np.float32)
+            img, _ = synthetic.render_aa(scene, CAM, jnp.asarray(R), jnp.asarray(t))
+            imgs.append(np.asarray(img))
+        seqs.append(imgs)
+    return seqs
+
+
+def test_batched_vo_matches_individual(rng):
+    seqs = make_sequences(rng, B=2)
+    n_frames = len(seqs[0])
+
+    solo = [FrameHandlerMono(CAM, fast_config()) for _ in range(2)]
+    solo_results = [[], []]
+    for i in range(n_frames):
+        for b in range(2):
+            solo_results[b].append(solo[b].add_image(seqs[b][i], i / 30.0))
+
+    bvo = BatchedVO(CAM, fast_config(), 2)
+    batch_results = [[], []]
+    for i in range(n_frames):
+        rs = bvo.add_images([seqs[0][i], seqs[1][i]], i / 30.0)
+        for b in range(2):
+            batch_results[b].append(rs[b])
+
+    # both must reach DEFAULT and track
+    assert all(vo.stage == STAGE_DEFAULT for vo in bvo.vos)
+    for b in range(2):
+        for rs_s, rs_b in zip(solo_results[b], batch_results[b]):
+            assert rs_s.stage == rs_b.stage
+            np.testing.assert_allclose(rs_b.t_f_w, rs_s.t_f_w, atol=1e-4)
+            np.testing.assert_allclose(rs_b.R_f_w, rs_s.R_f_w, atol=1e-4)
+
+
+def test_batched_vo_sharded_over_mesh(rng):
+    seqs = make_sequences(rng, B=2, n_frames=16)
+    devices = jax.devices()
+    mesh = jax.sharding.Mesh(np.asarray(devices[:2]), ("seq",))
+    bvo = BatchedVO(CAM, fast_config(), 2, mesh=mesh)
+    for i in range(len(seqs[0])):
+        rs = bvo.add_images([seqs[0][i], seqs[1][i]], i / 30.0)
+    assert all(vo.stage == STAGE_DEFAULT for vo in bvo.vos)
+    assert all(r is not None for r in rs)
+    assert min(r.n_pt_matches for r in rs) > 20
