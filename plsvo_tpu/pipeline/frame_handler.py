@@ -340,6 +340,12 @@ class FrameHandlerMono:
             ln_anchor_sf=m.dev("ln_anchor_sf"),
             ln_anchor_ef=m.dev("ln_anchor_ef"),
             ln_anchor_level=m.dev("ln_anchor_level"),
+            ln_obs_kf=m.dev("ln_obs_kf"), ln_obs_sf=m.dev("ln_obs_sf"),
+            ln_obs_ef=m.dev("ln_obs_ef"),
+            pt_last_optim=jnp.asarray(
+                np.clip(m.pt_last_optim, -1, 2**31 - 2).astype(np.int32)),
+            ln_last_optim=jnp.asarray(
+                np.clip(m.ln_last_optim, -1, 2**31 - 2).astype(np.int32)),
             kf_R=m.dev("kf_R"), kf_t=m.dev("kf_t"))
 
     def _fused_kwargs(self):
@@ -354,7 +360,10 @@ class FrameHandlerMono:
             n_line_samples=self.cfg.caps.n_line_samples,
             poseopt_iters=pl.poseoptim_num_iter,
             poseopt_thresh=pl.poseoptim_thresh,
-            n_pyr_use=pl.n_pyr_levels, has_ls=pl.has_ls)
+            n_pyr_use=pl.n_pyr_levels, has_ls=pl.has_ls,
+            n_struct_pts=pl.structureoptim_max_pts,
+            n_struct_segs=pl.structureoptim_max_segs,
+            struct_iters=pl.structureoptim_num_iter)
 
     def _fused_inputs(self, pyr):
         """Positional device inputs of fused.track_frame_core for this
@@ -463,9 +472,20 @@ class FrameHandlerMono:
         frame.t_f_w = res.t_f_w.astype(np.float32)
         frame.cov = res.cov
 
-        # --- structure optimization (frame_handler_base.cpp:202-237) ---
-        with self.permon.timer("point_optimizer"):
-            self._structure_optimize(frame)
+        # --- structure optimization results (computed in the fused core) ---
+        vsel = res.st_pt_valid
+        if vsel.any():
+            rows = res.st_pt_lm[vsel]
+            m.pt_pos[rows] = res.st_pt_pos[vsel]
+            m.pt_last_optim[rows] = frame.frame_id
+            m.invalidate("pt_pos")
+        lsel = res.st_ln_valid
+        if lsel.any():
+            rows = res.st_ln_lm[lsel]
+            m.ln_spos[rows] = res.st_ln_spos[lsel]
+            m.ln_epos[rows] = res.st_ln_epos[lsel]
+            m.ln_last_optim[rows] = frame.frame_id
+            m.invalidate("ln_spos", "ln_epos")
 
         # --- quality + keyframe decision ---
         quality = self._tracking_quality(frame, n_pt)
@@ -491,67 +511,6 @@ class FrameHandlerMono:
                            need_kf, frame.R_f_w, frame.t_f_w)
 
     # ------------------------------------------------------------------
-    def _structure_optimize(self, frame: FrameState):
-        pl = self.cfg.pipeline
-        m = self.map
-        # pick the least-recently-optimized landmarks observed in this frame
-        lm_ids = frame.pt_lm[frame.pt_valid & (frame.pt_lm >= 0)]
-        lm_ids = np.unique(lm_ids)
-        if len(lm_ids):
-            order = np.argsort(m.pt_last_optim[lm_ids])
-            sel = lm_ids[order[: pl.structureoptim_max_pts]]
-            # pad to the fixed budget: dynamic lengths would recompile
-            npad = pl.structureoptim_max_pts - len(sel)
-            sel_p = np.concatenate([sel, np.zeros(npad, sel.dtype)])
-            valid = np.zeros(pl.structureoptim_max_pts, bool)
-            valid[: len(sel)] = True
-            obs = self._gather_pt_obs(sel_p)
-            pos, improved = struct_opt.optimize_points(
-                jnp.asarray(m.pt_pos[sel_p]), obs,
-                jnp.asarray(valid), n_iter=pl.structureoptim_num_iter)
-            m.pt_pos[sel] = jax.device_get(pos)[: len(sel)]
-            m.pt_last_optim[sel] = frame.frame_id
-            m.invalidate("pt_pos")
-
-        sl_ids = frame.seg_lm[frame.seg_valid & (frame.seg_lm >= 0)]
-        sl_ids = np.unique(sl_ids)
-        if len(sl_ids):
-            order = np.argsort(m.ln_last_optim[sl_ids])
-            sel = sl_ids[order[: pl.structureoptim_max_segs]]
-            npad = pl.structureoptim_max_segs - len(sel)
-            sel_p = np.concatenate([sel, np.zeros(npad, sel.dtype)])
-            valid = np.zeros(pl.structureoptim_max_segs, bool)
-            valid[: len(sel)] = True
-            s_obs = self._gather_ln_obs(sel_p, start=True)
-            e_obs = self._gather_ln_obs(sel_p, start=False)
-            sp, ep, _, _ = struct_opt.optimize_segments(
-                jnp.asarray(m.ln_spos[sel_p]), jnp.asarray(m.ln_epos[sel_p]),
-                s_obs, e_obs, jnp.asarray(valid),
-                n_iter=pl.structureoptim_num_iter_segs)
-            sp_np, ep_np = jax.device_get((sp, ep))
-            m.ln_spos[sel] = sp_np[: len(sel)]
-            m.ln_epos[sel] = ep_np[: len(sel)]
-            m.ln_last_optim[sel] = frame.frame_id
-            m.invalidate("ln_spos", "ln_epos")
-
-    def _gather_pt_obs(self, rows: np.ndarray) -> struct_opt.StructObs:
-        m = self.map
-        kf = m.pt_obs_kf[rows]  # (L,O)
-        kfc = np.maximum(kf, 0)
-        return struct_opt.StructObs(
-            R_f_w=jnp.asarray(m.kf_R[kfc]), t_f_w=jnp.asarray(m.kf_t[kfc]),
-            f_obs=jnp.asarray(m.pt_obs_f[rows]),
-            valid=jnp.asarray((kf >= 0) & m.kf_occupied[kfc]))
-
-    def _gather_ln_obs(self, rows: np.ndarray, start: bool) -> struct_opt.StructObs:
-        m = self.map
-        kf = m.ln_obs_kf[rows]
-        kfc = np.maximum(kf, 0)
-        return struct_opt.StructObs(
-            R_f_w=jnp.asarray(m.kf_R[kfc]), t_f_w=jnp.asarray(m.kf_t[kfc]),
-            f_obs=jnp.asarray(m.ln_obs_sf[rows] if start else m.ln_obs_ef[rows]),
-            valid=jnp.asarray((kf >= 0) & m.kf_occupied[kfc]))
-
     # ------------------------------------------------------------------
     def _tracking_quality(self, frame: FrameState, n_matches: int) -> str:
         """frame_handler_base.cpp:173-190."""

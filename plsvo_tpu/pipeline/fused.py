@@ -17,7 +17,7 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from plsvo_tpu.ops import pose_opt, sparse_align
+from plsvo_tpu.ops import pose_opt, sparse_align, struct_opt
 from plsvo_tpu.pipeline import reprojector
 
 
@@ -59,6 +59,11 @@ class MapTables(NamedTuple):
     ln_anchor_sf: jnp.ndarray
     ln_anchor_ef: jnp.ndarray
     ln_anchor_level: jnp.ndarray
+    ln_obs_kf: jnp.ndarray
+    ln_obs_sf: jnp.ndarray
+    ln_obs_ef: jnp.ndarray
+    pt_last_optim: jnp.ndarray  # (P,) int32 (clipped from int64 host side)
+    ln_last_optim: jnp.ndarray
     kf_R: jnp.ndarray
     kf_t: jnp.ndarray
 
@@ -78,6 +83,14 @@ class FusedResult(NamedTuple):
     seg_sf_cur: jnp.ndarray
     seg_ef_cur: jnp.ndarray
     seg_line_cur: jnp.ndarray
+    # structure optimization (top-K least-recently-optimized matches)
+    st_pt_lm: jnp.ndarray  # (Kp,) landmark rows
+    st_pt_pos: jnp.ndarray  # (Kp,3) refined positions
+    st_pt_valid: jnp.ndarray  # (Kp,)
+    st_ln_lm: jnp.ndarray
+    st_ln_spos: jnp.ndarray
+    st_ln_epos: jnp.ndarray
+    st_ln_valid: jnp.ndarray
 
 
 def _unproject(uv, fx, fy, cx, cy):
@@ -90,7 +103,8 @@ def _unproject(uv, fx, fy, cx, cy):
 @partial(jax.jit, static_argnames=(
     "levels", "n_iter_align", "patch_align", "cell_size", "cell_size_segs",
     "max_pts_out", "max_segs_out", "n_line_samples", "poseopt_iters",
-    "poseopt_thresh", "n_pyr_use", "has_ls"))
+    "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "n_struct_segs", "struct_iters"))
 def track_frame_core(
     last_pyr: Sequence[jnp.ndarray],
     cur_pyr: Sequence[jnp.ndarray],
@@ -112,6 +126,9 @@ def track_frame_core(
     poseopt_thresh: float = 2.0,
     n_pyr_use: int = 3,
     has_ls: bool = True,
+    n_struct_pts: int = 20,
+    n_struct_segs: int = 20,
+    struct_iters: int = 5,
 ) -> FusedResult:
     # ---- 1. sparse image alignment against the last frame ----
     pts_in = sparse_align.AlignPoints(
@@ -179,9 +196,49 @@ def track_frame_core(
         inp, R_cur, t_cur, fx, n_iter=poseopt_iters,
         reproj_thresh=poseopt_thresh)
 
+    # ---- 4. structure optimization (frame_handler_base.cpp:202-237):
+    # top-K least-recently-optimized landmarks among this frame's matches ----
+    key_pt = jnp.where(pt_res.matched,
+                       -mt.pt_last_optim[pt_res.lm_idx].astype(jnp.float32),
+                       -jnp.inf)
+    _, sel_i = jax.lax.top_k(key_pt, n_struct_pts)
+    st_pt_lm = pt_res.lm_idx[sel_i]
+    st_pt_valid = pt_res.matched[sel_i]
+    okf = mt.pt_obs_kf[st_pt_lm]
+    obs = struct_opt.StructObs(
+        R_f_w=mt.kf_R[jnp.maximum(okf, 0)],
+        t_f_w=mt.kf_t[jnp.maximum(okf, 0)],
+        f_obs=mt.pt_obs_f[st_pt_lm],
+        valid=okf >= 0)
+    st_pt_pos, pt_improved = struct_opt.optimize_points(
+        mt.pt_pos[st_pt_lm], obs, st_pt_valid, n_iter=struct_iters)
+    st_pt_valid = st_pt_valid & pt_improved
+
+    key_sg = jnp.where(seg_res.matched,
+                       -mt.ln_last_optim[seg_res.lm_idx].astype(jnp.float32),
+                       -jnp.inf)
+    _, ssel_i = jax.lax.top_k(key_sg, n_struct_segs)
+    st_ln_lm = seg_res.lm_idx[ssel_i]
+    st_ln_valid = seg_res.matched[ssel_i]
+    lokf = mt.ln_obs_kf[st_ln_lm]
+    lo_kfc = jnp.maximum(lokf, 0)
+    s_obs = struct_opt.StructObs(
+        R_f_w=mt.kf_R[lo_kfc], t_f_w=mt.kf_t[lo_kfc],
+        f_obs=mt.ln_obs_sf[st_ln_lm], valid=lokf >= 0)
+    e_obs = struct_opt.StructObs(
+        R_f_w=mt.kf_R[lo_kfc], t_f_w=mt.kf_t[lo_kfc],
+        f_obs=mt.ln_obs_ef[st_ln_lm], valid=lokf >= 0)
+    st_ln_spos, st_ln_epos, s_ok, e_ok = struct_opt.optimize_segments(
+        mt.ln_spos[st_ln_lm], mt.ln_epos[st_ln_lm], s_obs, e_obs,
+        st_ln_valid, n_iter=struct_iters)
+    st_ln_valid = st_ln_valid & s_ok & e_ok
+
     return FusedResult(
         R_f_w=pres.R, t_f_w=pres.t, cov=pres.cov,
         align_seg_alive=ares.seg_alive,
         pt=pt_res, pt_inlier=pres.pt_inlier, pt_f_cur=pt_f_cur,
         seg=seg_res, seg_inlier=pres.seg_inlier,
-        seg_sf_cur=seg_sf_cur, seg_ef_cur=seg_ef_cur, seg_line_cur=seg_line)
+        seg_sf_cur=seg_sf_cur, seg_ef_cur=seg_ef_cur, seg_line_cur=seg_line,
+        st_pt_lm=st_pt_lm, st_pt_pos=st_pt_pos, st_pt_valid=st_pt_valid,
+        st_ln_lm=st_ln_lm, st_ln_spos=st_ln_spos, st_ln_epos=st_ln_epos,
+        st_ln_valid=st_ln_valid)
