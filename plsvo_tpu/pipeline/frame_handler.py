@@ -102,6 +102,8 @@ class FrameHandlerMono:
             "ef": np.zeros((caps.max_seed_segs, 3), np.float32),
             "level": np.zeros(caps.max_seed_segs, np.int32)}
         self._any_line_seeds = False
+        self._pt_converged_dev = None
+        self._ln_converged_dev = None
         self._seed_alive = np.zeros(caps.max_seeds, bool)
         self._lnseed_alive = np.zeros(caps.max_seed_segs, bool)
         # trace plane (reference permon channels, frame_handler_base.cpp:58-86)
@@ -143,8 +145,10 @@ class FrameHandlerMono:
         elif self.stage == STAGE_SECOND:
             res = self._process_second(pyr, timestamp)
         elif self.stage == STAGE_DEFAULT:
+            self._harvest_seeds()  # collect LAST frame's converged seeds
             res = self._process_frame(pyr, timestamp)
         elif self.stage == STAGE_RELOCALIZING:
+            self._harvest_seeds()
             res = self._relocalize(pyr, timestamp)
         else:
             raise RuntimeError(f"stage {self.stage}")
@@ -501,10 +505,9 @@ class FrameHandlerMono:
         if need_kf:
             frame.is_keyframe = True
             self._make_keyframe(frame, d_mean, d_min)
-        # --- depth-filter update on every frame ---
+        # --- depth-filter update dispatched async; harvested next frame ---
         with self.permon.timer("depth_filter"):
             self._update_seeds(frame)
-            self._harvest_seeds()
 
         self.last_frame = frame
         return FrameResult(frame.frame_id, STAGE_DEFAULT, quality, n_pt, n_seg,
@@ -579,10 +582,11 @@ class FrameHandlerMono:
             jnp.asarray(occ_uv if len(occ_uv) else np.zeros((1, 2), np.float32)),
             jnp.asarray(np.ones(max(len(occ_uv), 1), bool) if len(occ_uv) else np.zeros(1, bool)),
             self.cam.width, self.cam.height, pl.grid_size)
-        grid, segs = self._detect_features(frame.pyr)
-        valid = np.asarray(grid.valid) & ~np.asarray(occupied)
-        uv = np.asarray(grid.uv)[valid]
-        lvl = np.asarray(grid.level)[valid]
+        grid_dev, segs_dev = self._detect_features(frame.pyr)
+        grid, segs, occupied = jax.device_get((grid_dev, segs_dev, occupied))
+        valid = grid.valid & ~occupied
+        uv = grid.uv[valid]
+        lvl = grid.level[valid]
         f = self._np_unproject(uv) if len(uv) else np.zeros((0, 3), np.float32)
 
         mu, sigma2, z_range = df.seed_init_params(d_mean, d_min)
@@ -618,9 +622,9 @@ class FrameHandlerMono:
                 alive=jnp.asarray(alive_h))
 
         if segs is not None and self.cfg.pipeline.has_ls:
-            sv = np.asarray(segs.valid)
-            sp = np.asarray(segs.sp)[sv]
-            ep = np.asarray(segs.ep)[sv]
+            sv = segs.valid
+            sp = segs.sp[sv]
+            ep = segs.ep[sv]
             lcols = jax.device_get((
                 self.ln_seeds.mu_s, self.ln_seeds.sigma2_s, self.ln_seeds.z_range_s,
                 self.ln_seeds.mu_e, self.ln_seeds.sigma2_e, self.ln_seeds.z_range_e,
@@ -766,8 +770,12 @@ class FrameHandlerMono:
         if not fetch:
             return
         got = jax.device_get(tuple(fetch))
+        pt_pending = self._pt_converged_dev
+        ln_pending = self._ln_converged_dev
+        self._pt_converged_dev = None
+        self._ln_converged_dev = None
         gi = 0
-        if self._pt_converged_dev is not None:
+        if pt_pending is not None:
             conv, depth, alive_b = got[gi]
             gi += 1
             nrows = len(self._pt_rows)
@@ -782,7 +790,7 @@ class FrameHandlerMono:
                 pos_w = Rk.T @ (sh["f"][i] * depth[bi] - tk)
                 m.new_point(pos_w, int(k), sh["uv"][i], sh["f"][i],
                             int(sh["level"][i]), status=ST_CANDIDATE)
-        if self._ln_converged_dev is not None:
+        if ln_pending is not None:
             lconv, ds, de, lalive_b = got[gi]
             nrows = len(self._ln_rows)
             self._lnseed_alive[self._ln_rows] = lalive_b[:nrows]
