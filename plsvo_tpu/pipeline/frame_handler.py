@@ -863,6 +863,22 @@ class FrameHandlerMono:
         fr.is_keyframe = True
         return fr
 
+    # -- public control surface (reference: FrameHandlerBase::start/reset,
+    # frame_handler_base.h:81-84, lastProcessingTime :93) --
+    def reset(self):
+        """User-triggered full reset (start over from FIRST)."""
+        self._reset()
+
+    def start(self):
+        """Resume from PAUSED (the rebuild never auto-pauses; provided for
+        API parity)."""
+        if self.stage == STAGE_PAUSED:
+            self.stage = STAGE_FIRST
+
+    def last_processing_time(self) -> float:
+        """Seconds spent in the most recent add_image."""
+        return float(self.permon.timers.get("tot_time", 0.0))
+
     def _reset(self):
         self.stage = STAGE_FIRST
         self.map = MapState(self.cfg, self.n_levels,
