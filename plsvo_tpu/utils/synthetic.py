@@ -41,13 +41,18 @@ def make_texture(
     """Procedural texture rich in corners AND straight edges (rectangles
     produce true 3D line segments for the line pipeline)."""
     tex = rng.uniform(90.0, 160.0, size=(size, size)).astype(np.float32)
-    yy, xx = np.mgrid[0:size, 0:size]
     for _ in range(n_blobs):
         cx, cy = rng.uniform(0, size, 2)
         r = rng.uniform(3, 14)
         amp = rng.uniform(-70, 70)
+        # evaluate only on a local window (4 sigma); O(1) per blob instead of
+        # O(size^2) — textures beyond ~2k were taking minutes to generate
+        w = int(4 * r) + 1
+        x0, x1 = max(0, int(cx) - w), min(size, int(cx) + w + 1)
+        y0, y1 = max(0, int(cy) - w), min(size, int(cy) + w + 1)
+        yy, xx = np.mgrid[y0:y1, x0:x1]
         d2 = (xx - cx) ** 2 + (yy - cy) ** 2
-        tex += amp * np.exp(-d2 / (2 * r * r)).astype(np.float32)
+        tex[y0:y1, x0:x1] += (amp * np.exp(-d2 / (2 * r * r))).astype(np.float32)
     for _ in range(n_rects):
         w = int(rng.uniform(30, 160))
         h = int(rng.uniform(12, 80))
