@@ -19,12 +19,10 @@ no dynamic feature lists.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, NamedTuple, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
-
-from plsvo_tpu.image import shi_tomasi_score
 
 # FAST ring of radius 3, circular order (same ring as libfast's FAST-10).
 _FAST_RING = (

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from plsvo_tpu.image import bilinear_sample
-from plsvo_tpu.ops.feature_align import AlignOut, align2d, ref_patch_gradients
+from plsvo_tpu.ops.feature_align import align2d, ref_patch_gradients
 
 
 def get_warp_affine(

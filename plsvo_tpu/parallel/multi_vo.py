@@ -13,7 +13,7 @@ staged path for that frame; once in DEFAULT they join the batch.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ frame achieves the same overlap on-device without threads — SURVEY §2.3).
 """
 from __future__ import annotations
 
-import math
 import time
 from dataclasses import dataclass
 from typing import List, Optional
@@ -26,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from plsvo_tpu import lie
 from plsvo_tpu.camera import PinholeCamera
 from plsvo_tpu.config import Config
 from plsvo_tpu.image import build_pyramid
@@ -34,10 +32,10 @@ from plsvo_tpu.ops import depth_filter as df
 from plsvo_tpu.ops import detection, homography
 from plsvo_tpu.ops import klt as klt_ops
 from plsvo_tpu.ops import lines as line_ops
-from plsvo_tpu.ops import pose_opt, sparse_align, struct_opt
+from plsvo_tpu.ops import sparse_align
 from plsvo_tpu.pipeline.state import (
     FrameState, MapState, ST_CANDIDATE, ST_DELETED, ST_GOOD, ST_UNKNOWN)
-from plsvo_tpu.pipeline import fused, reprojector
+from plsvo_tpu.pipeline import fused
 from plsvo_tpu.utils.profiling import PerformanceMonitor
 
 STAGE_PAUSED = "paused"

@@ -10,7 +10,6 @@ long multi-host BA jobs.
 from __future__ import annotations
 
 import json
-from typing import Optional
 
 import numpy as np
 

@@ -7,7 +7,7 @@ tooling the reference defers to — here it is built in.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
