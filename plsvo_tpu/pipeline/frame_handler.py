@@ -413,11 +413,17 @@ class FrameHandlerMono:
         m.pt_n_fail[lm[sel & ~matched]] += 1
         cand_dead = (m.pt_status == ST_CANDIDATE) & (m.pt_n_fail > 30)
         unk_dead = (m.pt_status == ST_UNKNOWN) & (m.pt_n_fail > 15)
-        m.pt_status[cand_dead | unk_dead] = ST_DELETED
+        dead = cand_dead | unk_dead
+        m.pt_status[dead] = ST_DELETED
         promote = (m.pt_status == ST_UNKNOWN) & (m.pt_n_succ > 10)
         m.pt_status[promote] = ST_GOOD
-        if (cand_dead | unk_dead | promote).any():
+        if (dead | promote).any():
             m.invalidate("pt_status")
+        if dead.any():
+            # drop keyframe-table references to deleted landmarks
+            # (reference: Map::safeDeletePoint removes frame refs, map.cpp:82-114)
+            dead_rows = np.where(dead)[0]
+            m.kf_pt_lm[np.isin(m.kf_pt_lm, dead_rows)] = -1
 
         n_pt_gate = int(matched.sum())
         keep = matched & res.pt_inlier & (m.pt_status[lm] != ST_DELETED)
@@ -440,11 +446,15 @@ class FrameHandlerMono:
             m.ln_n_fail[slm[ssel & ~smat]] += 1
             c_dead = (m.ln_status == ST_CANDIDATE) & (m.ln_n_fail > 30)
             u_dead = (m.ln_status == ST_UNKNOWN) & (m.ln_n_fail > 15)
-            m.ln_status[c_dead | u_dead] = ST_DELETED
+            ldead = c_dead | u_dead
+            m.ln_status[ldead] = ST_DELETED
             lprom = (m.ln_status == ST_UNKNOWN) & (m.ln_n_succ > 10)
             m.ln_status[lprom] = ST_GOOD
-            if (c_dead | u_dead | lprom).any():
+            if (ldead | lprom).any():
                 m.invalidate("ln_status")
+            if ldead.any():
+                ldead_rows = np.where(ldead)[0]
+                m.kf_seg_lm[np.isin(m.kf_seg_lm, ldead_rows)] = -1
             skeep = smat & res.seg_inlier & (m.ln_status[slm] != ST_DELETED)
             srows = np.where(skeep)[0][: self.cfg.caps.max_segs]
             n_seg = len(srows)
