@@ -187,3 +187,33 @@ def test_pipeline_relocalizes_after_blackout(sequence):
             recovered = True
             break
     assert recovered, "did not recover from relocalization"
+
+
+def test_pipeline_with_distorted_camera(rng):
+    """Render through a radtan-distorted camera, undistort on ingest, track
+    with the ideal pinhole — the reference's standard flow
+    (app/run_pipeline.cpp:788-792,409-411)."""
+    from plsvo_tpu.camera import PinholeCamera
+    from plsvo_tpu.utils import dataset as ds
+
+    cam_d = PinholeCamera.create(320, 240, 250.0, 250.0, 160.0, 120.0,
+                                 dist=[-0.28, 0.07, 1e-4, 2e-5, 0.0])
+    maps = ds.undistort_maps(cam_d)
+    scene = synthetic.make_scene(rng, size=1024)
+    vo = FrameHandlerMono(cam_d.ideal(), fast_config())
+    poses = []
+    n = 20
+    for i in range(n):
+        R = np.eye(3, dtype=np.float32)
+        t = np.asarray([0.025 * i, 0.0, -2.0], np.float32)
+        img_d, _ = synthetic.render_aa(scene, cam_d, jnp.asarray(R), jnp.asarray(t))
+        img_u = ds.undistort_image(np.asarray(img_d), maps)
+        vo.add_image(img_u, i / 30.0)
+        poses.append(t)
+    stages = [r.stage for r in vo.results]
+    assert STAGE_DEFAULT in stages
+    fd = stages.index(STAGE_DEFAULT)
+    est = np.stack([-r.R_f_w.T @ r.t_f_w for r in vo.results[fd:]])
+    gt = np.stack(poses[fd:])
+    ate = trajectory.ate_rmse(est, gt)
+    assert ate < 0.02, f"ATE {ate}"
