@@ -286,6 +286,80 @@ def update_point_seeds(
         depth_converged=1.0 / jnp.maximum(mu, 1e-10))
 
 
+@partial(jax.jit, static_argnames=("patch_size", "n_epi_steps", "max_seed_kfs",
+                                   "sigma_conv_factor"))
+def update_point_seeds_bucketed(
+    full: PointSeeds,
+    rows: jnp.ndarray,  # (B,) full-table rows to process (padded)
+    pad_alive: jnp.ndarray,  # (B,) bool, False on padding rows
+    kf_R_w, kf_t_w, kf_pyr_stack, cur_pyr, R_w_cur, t_w_cur,
+    fx, fy, cx, cy, batch_counter,
+    *,
+    patch_size: int = 8,
+    n_epi_steps: int = 64,
+    max_seed_kfs: int = 3,
+    sigma_conv_factor: float = 200.0,
+):
+    """update_point_seeds on a compacted bucket of rows, with the
+    view-extract and scatter-back fused into the same dispatch (the staged
+    path paid ~16 eager op launches per frame for these).
+
+    Returns (updated_full_table, SeedUpdateResult in bucket space)."""
+    view = jax.tree.map(lambda a: a[rows], full)
+    view = view._replace(alive=view.alive & pad_alive)
+    res = update_point_seeds(
+        view, kf_R_w, kf_t_w, kf_pyr_stack, cur_pyr, R_w_cur, t_w_cur,
+        fx, fy, cx, cy, batch_counter, patch_size=patch_size,
+        n_epi_steps=n_epi_steps, max_seed_kfs=max_seed_kfs,
+        sigma_conv_factor=sigma_conv_factor)
+    ns = res.seeds
+    # scatter only where not padding (padding rows are all row 0 duplicates)
+    r = jnp.where(pad_alive, rows, full.mu.shape[0])  # OOB drop for padding
+    new_full = full._replace(
+        mu=full.mu.at[r].set(ns.mu, mode="drop"),
+        sigma2=full.sigma2.at[r].set(ns.sigma2, mode="drop"),
+        a=full.a.at[r].set(ns.a, mode="drop"),
+        b=full.b.at[r].set(ns.b, mode="drop"),
+        alive=full.alive.at[r].set(ns.alive, mode="drop"))
+    return new_full, res
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_epi_steps", "max_seed_kfs",
+                                   "sigma_conv_factor"))
+def update_line_seeds_bucketed(
+    full: LineSeeds,
+    rows: jnp.ndarray,
+    pad_alive: jnp.ndarray,
+    kf_R_w, kf_t_w, kf_pyr_stack, cur_pyr, R_w_cur, t_w_cur,
+    fx, fy, cx, cy, batch_counter,
+    *,
+    patch_size: int = 8,
+    n_epi_steps: int = 64,
+    max_seed_kfs: int = 3,
+    sigma_conv_factor: float = 200.0,
+):
+    """update_line_seeds on a compacted bucket (see
+    update_point_seeds_bucketed)."""
+    view = jax.tree.map(lambda a: a[rows], full)
+    view = view._replace(alive=view.alive & pad_alive)
+    res = update_line_seeds(
+        view, kf_R_w, kf_t_w, kf_pyr_stack, cur_pyr, R_w_cur, t_w_cur,
+        fx, fy, cx, cy, batch_counter, patch_size=patch_size,
+        n_epi_steps=n_epi_steps, max_seed_kfs=max_seed_kfs,
+        sigma_conv_factor=sigma_conv_factor)
+    ns = res.seeds
+    r = jnp.where(pad_alive, rows, full.mu_s.shape[0])
+    new_full = full._replace(
+        mu_s=full.mu_s.at[r].set(ns.mu_s, mode="drop"),
+        sigma2_s=full.sigma2_s.at[r].set(ns.sigma2_s, mode="drop"),
+        mu_e=full.mu_e.at[r].set(ns.mu_e, mode="drop"),
+        sigma2_e=full.sigma2_e.at[r].set(ns.sigma2_e, mode="drop"),
+        a=full.a.at[r].set(ns.a, mode="drop"),
+        b=full.b.at[r].set(ns.b, mode="drop"),
+        alive=full.alive.at[r].set(ns.alive, mode="drop"))
+    return new_full, res
+
+
 class LineSeedUpdateResult(NamedTuple):
     seeds: LineSeeds
     converged: jnp.ndarray  # (S,)

@@ -39,12 +39,12 @@ class BatchedVO:
         self.axis = axis
         self._batched_core = {}
 
-    def _core_for(self, n: int, kwargs):
-        key = (n, tuple(sorted(kwargs.items())))
+    def _core_for(self, n: int, specs, kwargs):
+        key = (n, specs, tuple(sorted(kwargs.items())))
         if key in self._batched_core:
             return self._batched_core[key]
 
-        core = partial(fused.track_frame_core, **kwargs)
+        core = partial(fused.track_frame_core_blob, specs=specs, **kwargs)
 
         def run(*batched_inputs):
             return jax.vmap(core)(*batched_inputs)
@@ -86,6 +86,9 @@ class BatchedVO:
             frames = []
             for i in default_idx:
                 vo = self.vos[i]
+                # collect the previous frame's converged seeds before this
+                # frame's core consumes the map tables
+                vo._harvest_seeds()
                 pyr = build_pyramid(jnp.asarray(np.asarray(imgs[i]),
                                                 jnp.float32), vo.n_levels)
                 last = vo.last_frame
@@ -94,7 +97,8 @@ class BatchedVO:
                     last.R_f_w.copy(), last.t_f_w.copy()))
                 inputs.append(vo._fused_inputs(pyr))
             stacked = jax.tree.map(lambda *a: jnp.stack(a), *inputs)
-            fn = self._core_for(len(default_idx), kwargs)
+            fn = self._core_for(len(default_idx),
+                                self.vos[default_idx[0]]._blob_specs(), kwargs)
             res_b = fn(*stacked)
             fetched = jax.device_get(res_b)
             for k, i in enumerate(default_idx):

@@ -143,7 +143,7 @@ class FrameHandlerMono:
         elif self.stage == STAGE_SECOND:
             res = self._process_second(pyr, timestamp)
         elif self.stage == STAGE_DEFAULT:
-            self._harvest_seeds()  # collect LAST frame's converged seeds
+            # (pending seed harvest is folded into the fused-core sync)
             res = self._process_frame(pyr, timestamp)
         elif self.stage == STAGE_RELOCALIZING:
             self._harvest_seeds()
@@ -303,9 +303,11 @@ class FrameHandlerMono:
             fx=self.cam.fx, fy=self.cam.fy, cx=self.cam.cx, cy=self.cam.cy)
         return pts, segs
 
-    def _last_tables(self, frame: FrameState) -> fused.LastFrameTables:
-        """Device upload of the last frame's feature tables with landmark
-        ranges recomputed (sparse_img_align.cpp:230-232)."""
+    def _last_blob(self, frame: FrameState) -> jnp.ndarray:
+        """ONE packed upload of the per-frame host tables: last frame's
+        feature tables (landmark ranges recomputed as the reference does at
+        sparse_img_align.cpp:230-232), its pose, and the last-optimized
+        stamps (layout: fused.last_blob_specs)."""
         m = self.map
         center = frame.cam_center_w()
         pv = frame.pt_valid & (frame.pt_lm >= 0)
@@ -317,14 +319,13 @@ class FrameHandlerMono:
         alive_s = sv & (m.ln_status[slm] > 0)
         sd = np.linalg.norm(m.ln_spos[slm] - center[None], axis=-1)
         ed = np.linalg.norm(m.ln_epos[slm] - center[None], axis=-1)
-        return fused.LastFrameTables(
-            pt_uv=jnp.asarray(frame.pt_uv), pt_f=jnp.asarray(frame.pt_f),
-            pt_depth=jnp.asarray(depth, jnp.float32), pt_valid=jnp.asarray(alive),
-            seg_suv=jnp.asarray(frame.seg_suv), seg_euv=jnp.asarray(frame.seg_euv),
-            seg_sf=jnp.asarray(frame.seg_sf), seg_ef=jnp.asarray(frame.seg_ef),
-            seg_sdepth=jnp.asarray(sd, jnp.float32),
-            seg_edepth=jnp.asarray(ed, jnp.float32),
-            seg_valid=jnp.asarray(alive_s))
+        blob = fused.pack_blob_host([
+            frame.pt_uv, frame.pt_f, depth, alive,
+            frame.seg_suv, frame.seg_euv, frame.seg_sf, frame.seg_ef,
+            sd, ed, alive_s, frame.R_f_w, frame.t_f_w,
+            np.clip(m.pt_last_optim, -1, 2**24 - 1),
+            np.clip(m.ln_last_optim, -1, 2**24 - 1)])
+        return jnp.asarray(blob)
 
     def _map_tables(self) -> fused.MapTables:
         m = self.map
@@ -344,10 +345,6 @@ class FrameHandlerMono:
             ln_anchor_level=m.dev("ln_anchor_level"),
             ln_obs_kf=m.dev("ln_obs_kf"), ln_obs_sf=m.dev("ln_obs_sf"),
             ln_obs_ef=m.dev("ln_obs_ef"),
-            pt_last_optim=jnp.asarray(
-                np.clip(m.pt_last_optim, -1, 2**31 - 2).astype(np.int32)),
-            ln_last_optim=jnp.asarray(
-                np.clip(m.ln_last_optim, -1, 2**31 - 2).astype(np.int32)),
             kf_R=m.dev("kf_R"), kf_t=m.dev("kf_t"))
 
     def _fused_kwargs(self):
@@ -367,30 +364,45 @@ class FrameHandlerMono:
             n_struct_segs=pl.structureoptim_max_segs,
             struct_iters=pl.structureoptim_num_iter)
 
+    def _blob_specs(self):
+        caps = self.cfg.caps
+        return fused.last_blob_specs(caps.max_fts, caps.max_segs,
+                                     caps.max_points, caps.max_lines)
+
     def _fused_inputs(self, pyr):
-        """Positional device inputs of fused.track_frame_core for this
+        """Positional device inputs of fused.track_frame_core_blob for this
         sequence's current frame."""
         pl = self.cfg.pipeline
         last = self.last_frame
         return (
             last.pyr, pyr, self.map.kf_pyr[: pl.n_pyr_levels],
-            self._last_tables(last),
-            jnp.asarray(last.R_f_w), jnp.asarray(last.t_f_w),
+            self._last_blob(last),
             self._map_tables(),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy)
 
     def _process_frame(self, pyr, ts) -> FrameResult:
-        pl = self.cfg.pipeline
         last = self.last_frame
         frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
                                  last.R_f_w.copy(), last.t_f_w.copy())
 
         # --- fused device core: align -> reproject -> pose opt ---
         with self.permon.timer("sparse_img_align"):
-            res_dev = fused.track_frame_core(
-                *self._fused_inputs(pyr), **self._fused_kwargs())
+            res_dev = fused.track_frame_core_blob(
+                *self._fused_inputs(pyr), specs=self._blob_specs(),
+                **self._fused_kwargs())
+        # ONE sync: fused result + last frame's pending seed harvest
         with self.permon.timer("reproject"):
-            res = jax.device_get(res_dev)
+            pt_pending = self._pt_converged_dev
+            ln_pending = self._ln_converged_dev
+            handles = tuple(h for h in (pt_pending, ln_pending)
+                            if h is not None)
+            got = jax.device_get((res_dev,) + handles)
+        res = got[0]
+        # converged seeds become candidates AFTER this frame's core ran —
+        # one frame later than the staged path, matching the reference's
+        # asynchronous mapping-thread delivery (depth_filter.cpp:333-355)
+        self._apply_harvest(got[1:], pt_pending is not None,
+                            ln_pending is not None)
         return self._post_fused(frame, res)
 
     def _post_fused(self, frame: FrameState, res) -> FrameResult:
@@ -688,8 +700,9 @@ class FrameHandlerMono:
 
         Seeds are compacted into the smallest power-of-2 bucket that holds
         the alive rows (host mirror) so the dominant epipolar-search cost
-        scales with the LIVE seed count, not the table capacity; results
-        scatter back. At most log2 bucket sizes ever compile."""
+        scales with the LIVE seed count, not the table capacity; the
+        view-extract, update, and scatter-back run as ONE dispatch
+        (df.update_*_seeds_bucketed). At most log2 bucket sizes compile."""
         pl = self.cfg.pipeline
         m = self.map
         R_w = np.swapaxes(m.kf_R, 1, 2)
@@ -699,6 +712,10 @@ class FrameHandlerMono:
         kw = dict(max_seed_kfs=pl.max_seed_kfs,
                   sigma_conv_factor=pl.seed_convergence_sigma2_thresh)
         pyrs = (m.kf_pyr[: pl.n_pyr_levels], frame.pyr[: pl.n_pyr_levels])
+        cam_args = (jnp.asarray(R_w), jnp.asarray(t_w), *pyrs,
+                    jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
+                    self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                    jnp.asarray(self.batch_counter, jnp.int32))
 
         alive_idx = np.where(self._seed_alive)[0]
         if len(alive_idx) == 0:
@@ -706,31 +723,16 @@ class FrameHandlerMono:
             self._pt_rows = alive_idx
         else:
             B = self._bucket(len(alive_idx), self.cfg.caps.max_seeds)
-            rows = np.zeros(B, np.int64)
+            rows = np.zeros(B, np.int32)
             rows[: len(alive_idx)] = alive_idx
-            rows_j = jnp.asarray(rows)
-            view = jax.tree.map(lambda a: a[rows_j], self.pt_seeds)
-            # mask out the padding rows
             pad_alive = np.zeros(B, bool)
             pad_alive[: len(alive_idx)] = True
-            view = view._replace(alive=view.alive & jnp.asarray(pad_alive))
-            res = df.update_point_seeds(
-                view, jnp.asarray(R_w), jnp.asarray(t_w), *pyrs,
-                jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
-                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                jnp.asarray(self.batch_counter, jnp.int32), **kw)
-            # scatter dynamic columns back into the full table
-            ns = res.seeds
-            full = self.pt_seeds
-            self.pt_seeds = full._replace(
-                mu=full.mu.at[rows_j].set(ns.mu),
-                sigma2=full.sigma2.at[rows_j].set(ns.sigma2),
-                a=full.a.at[rows_j].set(ns.a),
-                b=full.b.at[rows_j].set(ns.b),
-                alive=full.alive.at[rows_j].set(ns.alive))
+            self.pt_seeds, res = df.update_point_seeds_bucketed(
+                self.pt_seeds, jnp.asarray(rows), jnp.asarray(pad_alive),
+                *cam_args, **kw)
             self._pt_converged_dev = (res.converged, res.depth_converged,
-                                      ns.alive)
-            self._pt_rows = rows[: len(alive_idx)]
+                                      res.seeds.alive)
+            self._pt_rows = alive_idx
 
         self._ln_converged_dev = None
         self._ln_rows = np.zeros(0, np.int64)
@@ -738,52 +740,40 @@ class FrameHandlerMono:
             lalive_idx = np.where(self._lnseed_alive)[0]
             if len(lalive_idx):
                 B = self._bucket(len(lalive_idx), self.cfg.caps.max_seed_segs)
-                rows = np.zeros(B, np.int64)
+                rows = np.zeros(B, np.int32)
                 rows[: len(lalive_idx)] = lalive_idx
-                rows_j = jnp.asarray(rows)
-                view = jax.tree.map(lambda a: a[rows_j], self.ln_seeds)
                 pad_alive = np.zeros(B, bool)
                 pad_alive[: len(lalive_idx)] = True
-                view = view._replace(alive=view.alive & jnp.asarray(pad_alive))
-                lres = df.update_line_seeds(
-                    view, jnp.asarray(R_w), jnp.asarray(t_w), *pyrs,
-                    jnp.asarray(R_w_cur), jnp.asarray(t_w_cur),
-                    self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                    jnp.asarray(self.batch_counter, jnp.int32), **kw)
-                ns = lres.seeds
-                full = self.ln_seeds
-                self.ln_seeds = full._replace(
-                    mu_s=full.mu_s.at[rows_j].set(ns.mu_s),
-                    sigma2_s=full.sigma2_s.at[rows_j].set(ns.sigma2_s),
-                    mu_e=full.mu_e.at[rows_j].set(ns.mu_e),
-                    sigma2_e=full.sigma2_e.at[rows_j].set(ns.sigma2_e),
-                    a=full.a.at[rows_j].set(ns.a),
-                    b=full.b.at[rows_j].set(ns.b),
-                    alive=full.alive.at[rows_j].set(ns.alive))
+                self.ln_seeds, lres = df.update_line_seeds_bucketed(
+                    self.ln_seeds, jnp.asarray(rows), jnp.asarray(pad_alive),
+                    *cam_args, **kw)
                 self._ln_converged_dev = (lres.converged, lres.depth_s,
-                                          lres.depth_e, ns.alive)
-                self._ln_rows = rows[: len(lalive_idx)]
+                                          lres.depth_e, lres.seeds.alive)
+                self._ln_rows = lalive_idx
 
     def _harvest_seeds(self):
+        """Fetch + apply any pending seed convergence results (used by the
+        rare paths — relocalization; the DEFAULT path folds the fetch into
+        the fused-core sync in _process_frame)."""
+        pt_pending = self._pt_converged_dev
+        ln_pending = self._ln_converged_dev
+        fetch = tuple(h for h in (pt_pending, ln_pending) if h is not None)
+        if not fetch:
+            return
+        got = jax.device_get(fetch)
+        self._apply_harvest(got, pt_pending is not None,
+                            ln_pending is not None)
+
+    def _apply_harvest(self, got, has_pt: bool, has_ln: bool):
         """Converged seeds become CANDIDATE landmarks
         (depth_filter.cpp:333-355 + MapPointCandidates, map.cpp:285-309).
         Convergence masks arrive in bucket space; _pt_rows/_ln_rows map back
         to full-table rows. Host alive-mirrors update from the same fetch."""
         m = self.map
-        fetch = []
-        if self._pt_converged_dev is not None:
-            fetch.append(self._pt_converged_dev)
-        if self._ln_converged_dev is not None:
-            fetch.append(self._ln_converged_dev)
-        if not fetch:
-            return
-        got = jax.device_get(tuple(fetch))
-        pt_pending = self._pt_converged_dev
-        ln_pending = self._ln_converged_dev
         self._pt_converged_dev = None
         self._ln_converged_dev = None
         gi = 0
-        if pt_pending is not None:
+        if has_pt:
             conv, depth, alive_b = got[gi]
             gi += 1
             nrows = len(self._pt_rows)
@@ -798,7 +788,7 @@ class FrameHandlerMono:
                 pos_w = Rk.T @ (sh["f"][i] * depth[bi] - tk)
                 m.new_point(pos_w, int(k), sh["uv"][i], sh["f"][i],
                             int(sh["level"][i]), status=ST_CANDIDATE)
-        if ln_pending is not None:
+        if has_ln:
             lconv, ds, de, lalive_b = got[gi]
             nrows = len(self._ln_rows)
             self._lnseed_alive[self._ln_rows] = lalive_b[:nrows]

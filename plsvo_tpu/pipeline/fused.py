@@ -62,8 +62,6 @@ class MapTables(NamedTuple):
     ln_obs_kf: jnp.ndarray
     ln_obs_sf: jnp.ndarray
     ln_obs_ef: jnp.ndarray
-    pt_last_optim: jnp.ndarray  # (P,) int32 (clipped from int64 host side)
-    ln_last_optim: jnp.ndarray
     kf_R: jnp.ndarray
     kf_t: jnp.ndarray
 
@@ -93,6 +91,39 @@ class FusedResult(NamedTuple):
     st_ln_valid: jnp.ndarray
 
 
+def pack_blob_host(arrays) -> "np.ndarray":
+    """Concatenate host arrays into ONE flat f32 buffer (single upload).
+
+    Each upload over the device tunnel costs ~0.8 ms of launch overhead
+    regardless of size; the staged path paid it ~13x per frame for the
+    last-frame tables alone. Bools become 0/1 floats; int tables must be
+    exactly representable in f32 (frame ids, levels — all < 2^24)."""
+    import numpy as np
+
+    return np.concatenate(
+        [np.asarray(a, np.float32).ravel() for a in arrays])
+
+
+def unpack_blob(blob, specs):
+    """Slice a flat f32 blob back into arrays inside jit.
+
+    specs: tuple of (shape_tuple, kind) with kind in {"f32","bool","i32"}."""
+    out = []
+    off = 0
+    for shape, kind in specs:
+        n = 1
+        for s in shape:
+            n *= s
+        a = jax.lax.dynamic_slice_in_dim(blob, off, n).reshape(shape)
+        if kind == "bool":
+            a = a > 0.5
+        elif kind == "i32":
+            a = a.astype(jnp.int32)
+        out.append(a)
+        off += n
+    return out
+
+
 def _unproject(uv, fx, fy, cx, cy):
     x = (uv[..., 0] - cx) / fx
     y = (uv[..., 1] - cy) / fy
@@ -112,6 +143,8 @@ def track_frame_core(
     last: LastFrameTables,
     R_last: jnp.ndarray, t_last: jnp.ndarray,  # T_f_w of last frame
     mt: MapTables,
+    pt_last_optim: jnp.ndarray,  # (P,) f32 last-optimized frame ids
+    ln_last_optim: jnp.ndarray,  # (L,) f32
     fx, fy, cx, cy,
     *,
     levels: Tuple[int, ...],
@@ -199,7 +232,7 @@ def track_frame_core(
     # ---- 4. structure optimization (frame_handler_base.cpp:202-237):
     # top-K least-recently-optimized landmarks among this frame's matches ----
     key_pt = jnp.where(pt_res.matched,
-                       -mt.pt_last_optim[pt_res.lm_idx].astype(jnp.float32),
+                       -pt_last_optim[pt_res.lm_idx].astype(jnp.float32),
                        -jnp.inf)
     _, sel_i = jax.lax.top_k(key_pt, n_struct_pts)
     st_pt_lm = pt_res.lm_idx[sel_i]
@@ -215,7 +248,7 @@ def track_frame_core(
     st_pt_valid = st_pt_valid & pt_improved
 
     key_sg = jnp.where(seg_res.matched,
-                       -mt.ln_last_optim[seg_res.lm_idx].astype(jnp.float32),
+                       -ln_last_optim[seg_res.lm_idx].astype(jnp.float32),
                        -jnp.inf)
     _, ssel_i = jax.lax.top_k(key_sg, n_struct_segs)
     st_ln_lm = seg_res.lm_idx[ssel_i]
@@ -242,3 +275,54 @@ def track_frame_core(
         st_pt_lm=st_pt_lm, st_pt_pos=st_pt_pos, st_pt_valid=st_pt_valid,
         st_ln_lm=st_ln_lm, st_ln_spos=st_ln_spos, st_ln_epos=st_ln_epos,
         st_ln_valid=st_ln_valid)
+
+
+def last_blob_specs(F: int, G: int, P: int, L: int):
+    """Blob layout for the per-frame host-built tables: the last frame's
+    feature tables + pose and the landmark last-optimized stamps. One
+    upload replaces ~15 (see pack_blob_host)."""
+    return (
+        ((F, 2), "f32"),   # pt_uv
+        ((F, 3), "f32"),   # pt_f
+        ((F,), "f32"),     # pt_depth
+        ((F,), "bool"),    # pt_valid
+        ((G, 2), "f32"),   # seg_suv
+        ((G, 2), "f32"),   # seg_euv
+        ((G, 3), "f32"),   # seg_sf
+        ((G, 3), "f32"),   # seg_ef
+        ((G,), "f32"),     # seg_sdepth
+        ((G,), "f32"),     # seg_edepth
+        ((G,), "bool"),    # seg_valid
+        ((3, 3), "f32"),   # R_last
+        ((3,), "f32"),     # t_last
+        ((P,), "f32"),     # pt_last_optim
+        ((L,), "f32"),     # ln_last_optim
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "specs", "levels", "n_iter_align", "patch_align", "cell_size",
+    "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
+    "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "n_struct_segs", "struct_iters"))
+def track_frame_core_blob(
+    last_pyr, cur_pyr, kf_pyr,
+    blob: jnp.ndarray,  # flat f32 per-frame tables (last_blob_specs layout)
+    mt: MapTables,
+    fx, fy, cx, cy,
+    *,
+    specs,
+    **kw,
+) -> FusedResult:
+    """track_frame_core with the per-frame host tables delivered as ONE
+    packed upload (see pack_blob_host)."""
+    (pt_uv, pt_f, pt_depth, pt_valid, seg_suv, seg_euv, seg_sf, seg_ef,
+     seg_sdepth, seg_edepth, seg_valid, R_last, t_last,
+     pt_last_optim, ln_last_optim) = unpack_blob(blob, specs)
+    last = LastFrameTables(
+        pt_uv=pt_uv, pt_f=pt_f, pt_depth=pt_depth, pt_valid=pt_valid,
+        seg_suv=seg_suv, seg_euv=seg_euv, seg_sf=seg_sf, seg_ef=seg_ef,
+        seg_sdepth=seg_sdepth, seg_edepth=seg_edepth, seg_valid=seg_valid)
+    return track_frame_core(
+        last_pyr, cur_pyr, kf_pyr, last, R_last, t_last, mt,
+        pt_last_optim, ln_last_optim, fx, fy, cx, cy, **kw)
