@@ -68,8 +68,12 @@ def align2d(
     H = jnp.einsum("npi,npj->nij", J, J)
     Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(3, dtype=f32))
 
-    def body(carry, _):
-        uv, mean_diff, conv = carry
+    def cond(carry):
+        it, uv, mean_diff, conv, active_any = carry
+        return (it < n_iter) & active_any
+
+    def body(carry):
+        it, uv, mean_diff, conv, _ = carry
         pos = uv[:, None, :] + offs[None]
         I_cur, ok = bilinear_sample(cur_img, pos)  # (N,P)
         in_frame = jnp.all(ok, axis=-1)
@@ -81,10 +85,16 @@ def align2d(
         uv_new = jnp.where(active[:, None], uv - upd[:, :2], uv)
         md_new = jnp.where(active, mean_diff - upd[:, 2], mean_diff)
         conv_new = conv | (active & (jnp.linalg.norm(upd[:, :2], axis=-1) < conv_eps))
-        return (uv_new, md_new, conv_new), None
+        # all features converged or dead -> stop the whole batch early
+        # (typical convergence is 3-4 iterations at the 0.03px threshold;
+        # the reference early-exits per feature, feature_alignment.cpp:282)
+        still = jnp.any(valid & in_frame & jnp.logical_not(conv_new))
+        return (it + 1, uv_new, md_new, conv_new, still)
 
-    init = (uv_init.astype(f32), jnp.zeros((N,), f32), jnp.zeros((N,), bool))
-    (uv, md, conv), _ = jax.lax.scan(body, init, None, length=n_iter)
+    init = (jnp.zeros((), jnp.int32), uv_init.astype(f32),
+            jnp.zeros((N,), f32), jnp.zeros((N,), bool),
+            jnp.asarray(True))
+    _, uv, md, conv, _ = jax.lax.while_loop(cond, body, init)
     # a feature that wandered out of frame is failed
     pos = uv[:, None, :] + offs[None]
     _, ok = bilinear_sample(cur_img, pos)
@@ -117,8 +127,12 @@ def align1d(
     H = jnp.einsum("npi,npj->nij", J, J)
     Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(2, dtype=f32))
 
-    def body(carry, _):
-        dist, mean_diff, conv = carry
+    def cond(carry):
+        it, dist, mean_diff, conv, active_any = carry
+        return (it < n_iter) & active_any
+
+    def body(carry):
+        it, dist, mean_diff, conv, _ = carry
         uv = uv_init + dist[:, None] * d
         pos = uv[:, None, :] + offs[None]
         I_cur, ok = bilinear_sample(cur_img, pos)
@@ -130,10 +144,12 @@ def align1d(
         dist_new = jnp.where(active, dist - upd[:, 0], dist)
         md_new = jnp.where(active, mean_diff - upd[:, 1], mean_diff)
         conv_new = conv | (active & (jnp.abs(upd[:, 0]) < conv_eps))
-        return (dist_new, md_new, conv_new), None
+        still = jnp.any(valid & in_frame & jnp.logical_not(conv_new))
+        return (it + 1, dist_new, md_new, conv_new, still)
 
-    init = (jnp.zeros((N,), f32), jnp.zeros((N,), f32), jnp.zeros((N,), bool))
-    (dist, md, conv), _ = jax.lax.scan(body, init, None, length=n_iter)
+    init = (jnp.zeros((), jnp.int32), jnp.zeros((N,), f32),
+            jnp.zeros((N,), f32), jnp.zeros((N,), bool), jnp.asarray(True))
+    _, dist, md, conv, _ = jax.lax.while_loop(cond, body, init)
     uv = uv_init + dist[:, None] * d
     pos = uv[:, None, :] + offs[None]
     _, ok = bilinear_sample(cur_img, pos)
@@ -169,8 +185,12 @@ def align2d_atlas(
     Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(3, dtype=f32))
     lvl_b = level[:, None]
 
-    def body(carry, _):
-        uv, mean_diff, conv = carry
+    def cond(carry):
+        it, uv, mean_diff, conv, active_any = carry
+        return (it < n_iter) & active_any
+
+    def body(carry):
+        it, uv, mean_diff, conv, _ = carry
         pos = uv[:, None, :] + offs[None]
         I_cur, ok = bilinear_sample_atlas(atlas, x_off, sizes, pos, lvl_b)
         in_frame = jnp.all(ok, axis=-1)
@@ -181,10 +201,12 @@ def align2d_atlas(
         uv_new = jnp.where(active[:, None], uv - upd[:, :2], uv)
         md_new = jnp.where(active, mean_diff - upd[:, 2], mean_diff)
         conv_new = conv | (active & (jnp.linalg.norm(upd[:, :2], axis=-1) < conv_eps))
-        return (uv_new, md_new, conv_new), None
+        still = jnp.any(valid & in_frame & jnp.logical_not(conv_new))
+        return (it + 1, uv_new, md_new, conv_new, still)
 
-    init = (uv_init.astype(f32), jnp.zeros((N,), f32), jnp.zeros((N,), bool))
-    (uv, md, conv), _ = jax.lax.scan(body, init, None, length=n_iter)
+    init = (jnp.zeros((), jnp.int32), uv_init.astype(f32),
+            jnp.zeros((N,), f32), jnp.zeros((N,), bool), jnp.asarray(True))
+    _, uv, md, conv, _ = jax.lax.while_loop(cond, body, init)
     pos = uv[:, None, :] + offs[None]
     _, ok = bilinear_sample_atlas(atlas, x_off, sizes, pos, lvl_b)
     return AlignOut(uv=uv, converged=conv & valid & jnp.all(ok, axis=-1), mean_diff=md)

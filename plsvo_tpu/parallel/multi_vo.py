@@ -39,12 +39,12 @@ class BatchedVO:
         self.axis = axis
         self._batched_core = {}
 
-    def _core_for(self, n: int, specs, kwargs):
-        key = (n, specs, tuple(sorted(kwargs.items())))
+    def _core_for(self, n: int, kwargs):
+        key = (n, tuple(sorted((k, v) for k, v in kwargs.items())))
         if key in self._batched_core:
             return self._batched_core[key]
 
-        core = partial(fused.track_frame_core_blob, specs=specs, **kwargs)
+        core = partial(fused.track_frame_step, **kwargs)
 
         def run(*batched_inputs):
             return jax.vmap(core)(*batched_inputs)
@@ -81,29 +81,48 @@ class BatchedVO:
             results[i] = self.vos[i].add_image(imgs[i], timestamp)
 
         if default_idx:
-            kwargs = self.vos[default_idx[0]]._fused_kwargs()
+            # the FULL frame step (incl. seed updates) batches when every
+            # sequence agrees on the static flags; force the seed-update
+            # stages ON once any sequence needs them (a no-alive table
+            # just no-ops inside)
+            kwargs = self.vos[default_idx[0]]._step_kwargs()
+            kwargs["update_pt_seeds"] = any(
+                self.vos[i]._seed_alive.any() for i in default_idx)
+            kwargs["update_ln_seeds"] = bool(
+                self.cfg.pipeline.has_ls and any(
+                    self.vos[i]._any_line_seeds for i in default_idx))
             inputs = []
             frames = []
             for i in default_idx:
                 vo = self.vos[i]
-                # collect the previous frame's converged seeds before this
-                # frame's core consumes the map tables
-                vo._harvest_seeds()
                 pyr = build_pyramid(jnp.asarray(np.asarray(imgs[i]),
                                                 jnp.float32), vo.n_levels)
                 last = vo.last_frame
                 frames.append(FrameState.empty(
                     vo.cfg, vo.frame_id, timestamp, pyr,
                     last.R_f_w.copy(), last.t_f_w.copy()))
-                inputs.append(vo._fused_inputs(pyr))
+                inputs.append(vo._step_inputs(pyr))
             stacked = jax.tree.map(lambda *a: jnp.stack(a), *inputs)
-            fn = self._core_for(len(default_idx),
-                                self.vos[default_idx[0]]._blob_specs(), kwargs)
-            res_b = fn(*stacked)
-            fetched = jax.device_get(res_b)
+            fn = self._core_for(len(default_idx), kwargs)
+            step_b = fn(*stacked)
+            # ONE fetch for every sequence's results + seed convergence;
+            # seed tables stay device-resident, sliced back per sequence
+            fetched = jax.device_get(
+                (step_b.fused, step_b.pt_conv, step_b.ln_conv))
+            res_f, pt_conv_b, ln_conv_b = fetched
             for k, i in enumerate(default_idx):
                 vo = self.vos[i]
-                res_k = jax.tree.map(lambda a: a[k], fetched)
+                vo.pt_seeds = jax.tree.map(lambda a: a[k], step_b.pt_seeds)
+                if step_b.ln_seeds is not None:
+                    vo.ln_seeds = jax.tree.map(
+                        lambda a: a[k], step_b.ln_seeds)
+                pt_c = (None if pt_conv_b is None
+                        else jax.tree.map(lambda a: a[k], pt_conv_b))
+                ln_c = (None if ln_conv_b is None
+                        else jax.tree.map(lambda a: a[k], ln_conv_b))
+                got = tuple(g for g in (pt_c, ln_c) if g is not None)
+                vo._apply_harvest(got, pt_c is not None, ln_c is not None)
+                res_k = jax.tree.map(lambda a: a[k], res_f)
                 r = vo._post_fused(frames[k], res_k)
                 vo.frame_id += 1
                 vo.results.append(r)

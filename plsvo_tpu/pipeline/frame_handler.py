@@ -104,6 +104,10 @@ class FrameHandlerMono:
         self._ln_converged_dev = None
         self._seed_alive = np.zeros(caps.max_seeds, bool)
         self._lnseed_alive = np.zeros(caps.max_seed_segs, bool)
+        # convergence results arrive in full-table row space (the fused
+        # step updates seeds at capacity); identity mapping by default
+        self._pt_rows = np.arange(caps.max_seeds)
+        self._ln_rows = np.arange(caps.max_seed_segs)
         # trace plane (reference permon channels, frame_handler_base.cpp:58-86)
         self.permon = PerformanceMonitor()
 
@@ -369,15 +373,26 @@ class FrameHandlerMono:
         return fused.last_blob_specs(caps.max_fts, caps.max_segs,
                                      caps.max_points, caps.max_lines)
 
-    def _fused_inputs(self, pyr):
-        """Positional device inputs of fused.track_frame_core_blob for this
-        sequence's current frame."""
+    def _step_kwargs(self):
         pl = self.cfg.pipeline
+        return dict(
+            specs=self._blob_specs(),
+            update_pt_seeds=bool(self._seed_alive.any()),
+            update_ln_seeds=bool(pl.has_ls and self._any_line_seeds
+                                 and self._lnseed_alive.any()),
+            max_seed_kfs=pl.max_seed_kfs,
+            sigma_conv_factor=pl.seed_convergence_sigma2_thresh,
+            n_pyr_seed=pl.n_pyr_levels,
+            **self._fused_kwargs())
+
+    def _step_inputs(self, pyr):
         last = self.last_frame
+        pl = self.cfg.pipeline
         return (
             last.pyr, pyr, self.map.kf_pyr[: pl.n_pyr_levels],
-            self._last_blob(last),
-            self._map_tables(),
+            self._last_blob(last), self._map_tables(),
+            self.pt_seeds, self.ln_seeds,
+            jnp.asarray(self.batch_counter, jnp.int32),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy)
 
     def _process_frame(self, pyr, ts) -> FrameResult:
@@ -385,24 +400,22 @@ class FrameHandlerMono:
         frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
                                  last.R_f_w.copy(), last.t_f_w.copy())
 
-        # --- fused device core: align -> reproject -> pose opt ---
+        # --- ONE device program: align -> reproject -> pose opt ->
+        # structure opt -> seed updates; ONE fetch (seed tables stay on
+        # device) ---
         with self.permon.timer("sparse_img_align"):
-            res_dev = fused.track_frame_core_blob(
-                *self._fused_inputs(pyr), specs=self._blob_specs(),
-                **self._fused_kwargs())
-        # ONE sync: fused result + last frame's pending seed harvest
+            step = fused.track_frame_step(
+                *self._step_inputs(pyr), **self._step_kwargs())
+        self.pt_seeds = step.pt_seeds
+        self.ln_seeds = step.ln_seeds
         with self.permon.timer("reproject"):
-            pt_pending = self._pt_converged_dev
-            ln_pending = self._ln_converged_dev
-            handles = tuple(h for h in (pt_pending, ln_pending)
-                            if h is not None)
-            got = jax.device_get((res_dev,) + handles)
-        res = got[0]
-        # converged seeds become candidates AFTER this frame's core ran —
-        # one frame later than the staged path, matching the reference's
-        # asynchronous mapping-thread delivery (depth_filter.cpp:333-355)
-        self._apply_harvest(got[1:], pt_pending is not None,
-                            ln_pending is not None)
+            res, pt_conv, ln_conv = jax.device_get(
+                (step.fused, step.pt_conv, step.ln_conv))
+        # converged seeds -> candidate landmarks, visible from the NEXT
+        # frame's core (asynchronous mapping-thread delivery semantics,
+        # depth_filter.cpp:333-355)
+        got = tuple(g for g in (pt_conv, ln_conv) if g is not None)
+        self._apply_harvest(got, pt_conv is not None, ln_conv is not None)
         return self._post_fused(frame, res)
 
     def _post_fused(self, frame: FrameState, res) -> FrameResult:
@@ -525,9 +538,9 @@ class FrameHandlerMono:
         if need_kf:
             frame.is_keyframe = True
             self._make_keyframe(frame, d_mean, d_min)
-        # --- depth-filter update dispatched async; harvested next frame ---
-        with self.permon.timer("depth_filter"):
-            self._update_seeds(frame)
+        # (seed updates already ran inside the fused device step, BEFORE the
+        # keyframe's new seeds were initialized — the reference's
+        # updateSeeds-then-initializeSeeds order, depth_filter.cpp:256-258)
 
         self.last_frame = frame
         return FrameResult(frame.frame_id, STAGE_DEFAULT, quality, n_pt, n_seg,

@@ -300,6 +300,81 @@ def last_blob_specs(F: int, G: int, P: int, L: int):
     )
 
 
+class FullStepResult(NamedTuple):
+    fused: FusedResult
+    pt_seeds: object  # PointSeeds (device-resident; NOT fetched per frame)
+    ln_seeds: object  # LineSeeds or None
+    pt_conv: object  # (converged, depth, alive) or None
+    ln_conv: object  # (converged, depth_s, depth_e, alive) or None
+
+
+@partial(jax.jit, static_argnames=(
+    "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
+    "sigma_conv_factor", "n_pyr_seed",
+    "levels", "n_iter_align", "patch_align", "cell_size",
+    "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
+    "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "n_struct_segs", "struct_iters"))
+def track_frame_step(
+    last_pyr, cur_pyr, kf_pyr,
+    blob: jnp.ndarray,
+    mt: MapTables,
+    pt_seeds, ln_seeds,
+    batch_counter: jnp.ndarray,  # () int32
+    fx, fy, cx, cy,
+    *,
+    specs,
+    update_pt_seeds: bool,
+    update_ln_seeds: bool,
+    max_seed_kfs: int,
+    sigma_conv_factor: float,
+    n_pyr_seed: int,
+    **kw,
+) -> FullStepResult:
+    """The COMPLETE tracked-frame device program: align -> reproject ->
+    pose opt -> structure opt -> depth-filter seed updates, one executable,
+    one fetch. The seed update consumes the pose-optimized camera, matching
+    the staged order (frame_handler_mono.cpp:353-357 hands the tracked
+    frame to the depth filter after pose/structure optimization); on
+    keyframes the host initializes NEW seeds after this step, i.e. the
+    reference's updateSeeds-then-initializeSeeds order
+    (depth_filter.cpp:256-258)."""
+    from plsvo_tpu.ops import depth_filter as df
+
+    res = track_frame_core_blob(
+        last_pyr, cur_pyr, kf_pyr, blob, mt, fx, fy, cx, cy,
+        specs=specs, **kw)
+
+    # keyframe poses cam->world for the seed anchors
+    R_w_kf = jnp.swapaxes(mt.kf_R, -1, -2)
+    t_w_kf = -jnp.einsum("kji,kj->ki", mt.kf_R, mt.kf_t)
+    R_w_cur = res.R_f_w.T
+    t_w_cur = -res.R_f_w.T @ res.t_f_w
+    seed_pyrs = (kf_pyr[:n_pyr_seed], cur_pyr[:n_pyr_seed])
+    skw = dict(max_seed_kfs=max_seed_kfs,
+               sigma_conv_factor=sigma_conv_factor)
+
+    pt_conv = None
+    if update_pt_seeds:
+        pres = df.update_point_seeds(
+            pt_seeds, R_w_kf, t_w_kf, *seed_pyrs, R_w_cur, t_w_cur,
+            fx, fy, cx, cy, batch_counter, **skw)
+        pt_seeds = pres.seeds
+        pt_conv = (pres.converged, pres.depth_converged, pres.seeds.alive)
+
+    ln_conv = None
+    if update_ln_seeds:
+        lres = df.update_line_seeds(
+            ln_seeds, R_w_kf, t_w_kf, *seed_pyrs, R_w_cur, t_w_cur,
+            fx, fy, cx, cy, batch_counter, **skw)
+        ln_seeds = lres.seeds
+        ln_conv = (lres.converged, lres.depth_s, lres.depth_e,
+                   lres.seeds.alive)
+
+    return FullStepResult(fused=res, pt_seeds=pt_seeds, ln_seeds=ln_seeds,
+                          pt_conv=pt_conv, ln_conv=ln_conv)
+
+
 @partial(jax.jit, static_argnames=(
     "specs", "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
