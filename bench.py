@@ -1,7 +1,13 @@
 """Benchmark: full VO pipeline frames/s on one chip, 752x480 (EuRoC-size).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "batched_fps_b8": N, "batched_seqs": 8}
+
+value = single-sequence latency-path fps. batched_fps_b8 = aggregate
+frames/s tracking 8 sequences through one vmapped device program per frame
+(BatchedVO, BASELINE.json config 4) — the production-serving throughput
+number on ONE chip. Set BENCH_BATCHED=0 to skip the batched phase.
 
 Baseline: the reference publishes no numbers (BASELINE.md); its de-facto
 target is real-time tracking at the 30 fps camera rate it assumes for
@@ -9,6 +15,7 @@ timestamps (app/run_pipeline.cpp:149,234). vs_baseline is therefore
 fps / 30.
 """
 import json
+import os
 import sys
 import time
 
@@ -72,12 +79,37 @@ def main():
     per_frame = float(np.median(steady))
     fps = 1.0 / per_frame
 
-    print(json.dumps({
+    out = {
         "metric": "vo_fps_752x480_points_lines",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+    }
+
+    # ---- batched multi-sequence throughput (one chip, B sequences) ----
+    if os.environ.get("BENCH_BATCHED", "1") != "0":
+        from plsvo_tpu.parallel.multi_vo import BatchedVO
+
+        B = int(os.environ.get("BENCH_BATCH", "8"))
+        bvo = BatchedVO(cam, Config(), B)
+        imgs_h = [np.asarray(im) for im in imgs]  # identical streams
+        bt = []
+        for i in range(n_frames):
+            t0 = time.perf_counter()
+            bvo.add_images([imgs_h[i]] * B, i / 30.0)
+            dt = time.perf_counter() - t0
+            all_def = all(s == "default" for s in bvo.stages)
+            bt.append((dt, all_def))
+            print(f"batched frame {i}: {dt*1000:.1f}ms "
+                  f"stages={set(bvo.stages)}", file=sys.stderr)
+        defaults = [dt for dt, ok in bt if ok]
+        steady_b = defaults[3:] if len(defaults) > 6 else defaults
+        if steady_b:
+            per = float(np.median(steady_b))
+            out["batched_fps_b8"] = round(B / per, 2)
+            out["batched_seqs"] = B
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

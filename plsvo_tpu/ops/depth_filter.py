@@ -360,6 +360,71 @@ def update_line_seeds_bucketed(
     return new_full, res
 
 
+@jax.jit
+def scatter_new_point_seeds(
+    full: PointSeeds,
+    rows: jnp.ndarray,  # (B,) target rows (padded; mask selects real ones)
+    mask: jnp.ndarray,  # (B,) bool
+    kf_idx, uv, f, level,  # (B,...) new static columns
+    mu, sigma2, z_range, batch_id,  # () scalars for all new seeds
+) -> PointSeeds:
+    """Install new seeds into free rows ON DEVICE (one dispatch) — replaces
+    the fetch-rebuild-upload the staged path did per keyframe
+    (reference: DepthFilter::initializeSeeds, depth_filter.cpp:151-197)."""
+    S = full.mu.shape[0]
+    r = jnp.where(mask, rows, S)  # OOB -> dropped
+    bshape = rows.shape
+    return full._replace(
+        kf_idx=full.kf_idx.at[r].set(kf_idx, mode="drop"),
+        uv=full.uv.at[r].set(uv, mode="drop"),
+        f=full.f.at[r].set(f, mode="drop"),
+        level=full.level.at[r].set(level, mode="drop"),
+        mu=full.mu.at[r].set(jnp.full(bshape, mu), mode="drop"),
+        sigma2=full.sigma2.at[r].set(jnp.full(bshape, sigma2), mode="drop"),
+        z_range=full.z_range.at[r].set(jnp.full(bshape, z_range), mode="drop"),
+        a=full.a.at[r].set(jnp.full(bshape, 10.0), mode="drop"),
+        b=full.b.at[r].set(jnp.full(bshape, 10.0), mode="drop"),
+        batch_id=full.batch_id.at[r].set(
+            jnp.full(bshape, batch_id, jnp.int32), mode="drop"),
+        alive=full.alive.at[r].set(mask, mode="drop"))
+
+
+@jax.jit
+def scatter_new_line_seeds(
+    full: LineSeeds,
+    rows: jnp.ndarray,
+    mask: jnp.ndarray,
+    kf_idx, s_uv, e_uv, sf, ef, level,
+    mu, sigma2, z_range, batch_id,
+) -> LineSeeds:
+    """Line-seed analogue of scatter_new_point_seeds (both endpoints get
+    the same inverse-depth prior, depth_filter.cpp:63-74)."""
+    S = full.mu_s.shape[0]
+    r = jnp.where(mask, rows, S)
+    bshape = rows.shape
+    fmu = jnp.full(bshape, mu)
+    fs2 = jnp.full(bshape, sigma2)
+    fzr = jnp.full(bshape, z_range)
+    return full._replace(
+        kf_idx=full.kf_idx.at[r].set(kf_idx, mode="drop"),
+        s_uv=full.s_uv.at[r].set(s_uv, mode="drop"),
+        e_uv=full.e_uv.at[r].set(e_uv, mode="drop"),
+        sf=full.sf.at[r].set(sf, mode="drop"),
+        ef=full.ef.at[r].set(ef, mode="drop"),
+        level=full.level.at[r].set(level, mode="drop"),
+        mu_s=full.mu_s.at[r].set(fmu, mode="drop"),
+        sigma2_s=full.sigma2_s.at[r].set(fs2, mode="drop"),
+        z_range_s=full.z_range_s.at[r].set(fzr, mode="drop"),
+        mu_e=full.mu_e.at[r].set(fmu, mode="drop"),
+        sigma2_e=full.sigma2_e.at[r].set(fs2, mode="drop"),
+        z_range_e=full.z_range_e.at[r].set(fzr, mode="drop"),
+        a=full.a.at[r].set(jnp.full(bshape, 10.0), mode="drop"),
+        b=full.b.at[r].set(jnp.full(bshape, 10.0), mode="drop"),
+        batch_id=full.batch_id.at[r].set(
+            jnp.full(bshape, batch_id, jnp.int32), mode="drop"),
+        alive=full.alive.at[r].set(mask, mode="drop"))
+
+
 class LineSeedUpdateResult(NamedTuple):
     seeds: LineSeeds
     converged: jnp.ndarray  # (S,)

@@ -44,15 +44,20 @@ class SegmentTable(NamedTuple):
     valid: jnp.ndarray  # (S,) bool
 
 
-def _edge_field(img: jnp.ndarray, grad_threshold: float):
-    """Thin edge mask + gradient angle/magnitude."""
+def _edge_field(img: jnp.ndarray, grad_threshold: float, margin: int = 8):
+    """Thin edge mask + gradient angle/magnitude.
+
+    `margin` px around the border are excluded: border-hugging lines are
+    unusable downstream (patch sampling needs in-frame support) and
+    render/sensor boundary artifacts otherwise dominate the Hough vote."""
     gx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
     gy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
     mag = jnp.hypot(gx, gy)
     H, W = img.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    inner = (yy >= 2) & (yy < H - 2) & (xx >= 2) & (xx < W - 2)
+    inner = (yy >= margin) & (yy < H - margin) \
+        & (xx >= margin) & (xx < W - margin)
 
     # NMS along gradient direction (4 direction bins)
     ang = jnp.arctan2(gy, gx)  # gradient (normal) direction
@@ -71,8 +76,8 @@ def _edge_field(img: jnp.ndarray, grad_threshold: float):
 @partial(
     jax.jit,
     static_argnames=(
-        "n_peaks", "n_theta", "rho_res", "run_bin_px", "grad_threshold",
-        "angle_tol", "dist_tol",
+        "n_peaks", "n_theta", "rho_res", "run_gap_px", "grad_threshold",
+        "angle_tol", "dist_tol", "max_edge_px", "min_run_count",
     ),
 )
 def detect_segments(
@@ -81,36 +86,50 @@ def detect_segments(
     n_peaks: int = 64,
     n_theta: int = 128,
     rho_res: float = 1.0,
-    run_bin_px: int = 3,
+    run_gap_px: float = 6.0,
     grad_threshold: float = 5.3,
     angle_tol: float = 0.3927,  # 22.5 deg, LSD's tolerance
     dist_tol: float = 1.8,
+    max_edge_px: int = 4096,
+    min_run_count: int = 6,
 ) -> SegmentTable:
-    """Detect up to n_peaks line segments in one image (one XLA program)."""
+    """Detect up to n_peaks line segments in one image (one XLA program).
+
+    TPU note: scatter ops serialize on TPU, so both Hough voting and
+    endpoint extraction work on a COMPACTED top-`max_edge_px` edge-pixel
+    list instead of dense (H,W) maps — voting scatters 3*E adds instead of
+    3*H*W, and the per-peak "longest collinear run" is found by sorting
+    inlier projections and clustering with an associative scan (exact t
+    endpoints, no scatter at all; previously a per-peak segment_sum
+    histogram dominated the keyframe path at ~0.5 s/frame)."""
     H, W = img.shape
     f32 = jnp.float32
+    E = max_edge_px
     edge, mag, grad_ang = _edge_field(img, grad_threshold)
+    phi = jnp.mod(grad_ang, jnp.pi)
 
-    yy = jax.lax.broadcasted_iota(f32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(f32, (H, W), 1)
+    # ---- compact the strongest edge pixels into a fixed list ----
+    w_flat = jnp.where(edge, mag, 0.0).ravel()
+    top_w, top_i = jax.lax.top_k(w_flat, E)
+    e_ok = top_w > 0.0
+    ex = (top_i % W).astype(f32)
+    ey = (top_i // W).astype(f32)
+    e_phi = phi.ravel()[top_i]
 
-    # ---- gradient-restricted Hough voting ----
+    # ---- gradient-restricted Hough voting (3E scatter-adds) ----
     diag = math.hypot(H, W)
     n_rho = int(math.ceil(2.0 * diag / rho_res))
     rho0 = -diag
-    # normal direction theta in [0, pi): the line's normal is the gradient dir
-    phi = jnp.mod(grad_ang, jnp.pi)
     dtheta = math.pi / n_theta
-    base_bin = jnp.round(phi / dtheta).astype(jnp.int32)
-    w_vote = jnp.where(edge, mag, 0.0).ravel()
+    base_bin = jnp.round(e_phi / dtheta).astype(jnp.int32)
+    vote = jnp.where(e_ok, top_w, 0.0)
     acc = jnp.zeros((n_theta * n_rho,), f32)
     for db in (-1, 0, 1):
         tb = jnp.mod(base_bin + db, n_theta)
         theta = tb.astype(f32) * dtheta
-        rho = xx * jnp.cos(theta) + yy * jnp.sin(theta)
+        rho = ex * jnp.cos(theta) + ey * jnp.sin(theta)
         rb = jnp.clip(((rho - rho0) / rho_res).astype(jnp.int32), 0, n_rho - 1)
-        idx = (tb * n_rho + rb).ravel()
-        acc = acc.at[idx].add(w_vote)
+        acc = acc.at[tb * n_rho + rb].add(vote)
     acc2d = acc.reshape(n_theta, n_rho)
 
     # ---- peak NMS (3x3, wrap in theta since theta is circular mod pi) ----
@@ -123,54 +142,57 @@ def detect_segments(
     is_peak = acc2d >= jnp.max(jnp.stack(neigh), axis=0)
     peak_vals = jnp.where(is_peak, acc2d, 0.0).ravel()
     top_vals, top_idx = jax.lax.top_k(peak_vals, n_peaks)
-    p_theta = (top_idx // n_rho).astype(f32) * dtheta
+    p_theta = (top_idx // n_rho).astype(f32) * dtheta  # (P,)
     p_rho = (top_idx % n_rho).astype(f32) * rho_res + rho0
 
-    # ---- per-peak endpoint extraction ----
-    n_bins = int(math.ceil(2.0 * diag / run_bin_px))
+    # ---- batched endpoint extraction: sort + scan clustering ----
+    c = jnp.cos(p_theta)[:, None]  # (P,1)
+    s = jnp.sin(p_theta)[:, None]
+    dist = jnp.abs(ex[None] * c + ey[None] * s - p_rho[:, None])  # (P,E)
+    dphi = jnp.abs(
+        jnp.mod(e_phi[None] - p_theta[:, None] + jnp.pi / 2, jnp.pi)
+        - jnp.pi / 2)
+    inlier = e_ok[None] & (dist < dist_tol) & (dphi < angle_tol)
+    t = -ex[None] * s + ey[None] * c  # projection along the line dir
+    t_s = jnp.sort(jnp.where(inlier, t, jnp.inf), axis=1)
+    finite = jnp.isfinite(t_s)
+    iarr = jnp.arange(E, dtype=jnp.int32)[None, :]
+    prev = jnp.concatenate(
+        [jnp.full((t_s.shape[0], 1), -jnp.inf, f32), t_s[:, :-1]], axis=1)
+    new_run = (t_s - prev > run_gap_px) | ~jnp.isfinite(prev)
+    start_t = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_run, t_s, -jnp.inf), axis=1)
+    start_i = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_run, iarr, -1), axis=1)
+    extent = t_s - start_t  # run length in px up to position i
+    count = iarr - start_i + 1
+    score = jnp.where(finite, extent, -1.0)
+    score = jnp.where(jnp.isfinite(score), score, -1.0)
+    best = jnp.argmax(score, axis=1)  # (P,)
+    bcol = best[:, None]
+    t_end = jnp.take_along_axis(t_s, bcol, 1)[:, 0]
+    t_start = jnp.take_along_axis(start_t, bcol, 1)[:, 0]
+    cnt = jnp.take_along_axis(count, bcol, 1)[:, 0]
+    run_ok = (top_vals > 0.0) & (cnt >= min_run_count) \
+        & jnp.isfinite(t_end) & jnp.isfinite(t_start) \
+        & (t_end - t_start > 1.0)
 
-    def extract(theta, rho, peak_val):
-        c, s = jnp.cos(theta), jnp.sin(theta)
-        dist = jnp.abs(xx * c + yy * s - rho)
-        dphi = jnp.abs(jnp.mod(phi - theta + jnp.pi / 2, jnp.pi) - jnp.pi / 2)
-        inlier = edge & (dist < dist_tol) & (dphi < angle_tol)
-        # projection onto line direction (-s, c)
-        t = -xx * s + yy * c
-        tb = jnp.clip(((t + diag) / run_bin_px).astype(jnp.int32), 0, n_bins - 1)
-        occ_w = jax.ops.segment_sum(
-            jnp.where(inlier, mag, 0.0).ravel(), tb.ravel(), num_segments=n_bins
-        )
-        occ = occ_w > 0.0
-        # close 1-bin gaps (LSD tolerates small interruptions)
-        occ_d = occ | (jnp.roll(occ, 1) & jnp.roll(occ, -1))
-        occ_d = occ_d & ~((jnp.arange(n_bins) == 0) | (jnp.arange(n_bins) == n_bins - 1))
-        # longest run of True: run[i] = i - last_index_with_False
-        i_arr = jnp.arange(n_bins, dtype=jnp.int32)
-        last_false = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(occ_d, -1, i_arr)
-        )
-        run_len = i_arr - last_false
-        end_bin = jnp.argmax(run_len)
-        length_bins = run_len[end_bin]
-        start_bin = end_bin - length_bins + 1
-        t_start = (start_bin.astype(f32)) * run_bin_px - diag
-        t_end = (end_bin.astype(f32) + 1.0) * run_bin_px - diag
-        p0 = jnp.stack([rho * c - t_start * s, rho * s + t_start * c])
-        p1 = jnp.stack([rho * c - t_end * s, rho * s + t_end * c])
-        # clamp to image bounds (endpoints can overshoot by one bin)
-        p0 = jnp.clip(p0, 0.0, jnp.asarray([W - 1.0, H - 1.0], f32))
-        p1 = jnp.clip(p1, 0.0, jnp.asarray([W - 1.0, H - 1.0], f32))
-        seg_len = jnp.linalg.norm(p1 - p0)
-        resp = jnp.sum(occ_w * occ_d) * (length_bins > 0)
-        ok = (peak_val > 0.0) & (length_bins >= 2)
-        return p0, p1, seg_len, resp, ok
-
-    sp, ep, seg_len, resp, ok = jax.vmap(extract)(p_theta, p_rho, top_vals)
+    cc = c[:, 0]
+    ss = s[:, 0]
+    lim = jnp.asarray([W - 1.0, H - 1.0], f32)
+    t_start = jnp.where(run_ok, t_start, 0.0)
+    t_end = jnp.where(run_ok, t_end, 0.0)
+    sp = jnp.clip(jnp.stack(
+        [p_rho * cc - t_start * ss, p_rho * ss + t_start * cc], -1), 0.0, lim)
+    ep = jnp.clip(jnp.stack(
+        [p_rho * cc - t_end * ss, p_rho * ss + t_end * cc], -1), 0.0, lim)
+    seg_len = jnp.linalg.norm(ep - sp, axis=-1)
+    resp = cnt.astype(f32) * run_ok
     line_angle = jnp.arctan2(ep[:, 1] - sp[:, 1], ep[:, 0] - sp[:, 0])
     # normalize to [-pi/2, pi/2)
     line_angle = jnp.mod(line_angle + jnp.pi / 2, jnp.pi) - jnp.pi / 2
     return SegmentTable(sp=sp, ep=ep, length=seg_len, angle=line_angle,
-                        response=resp, valid=ok)
+                        response=resp, valid=run_ok)
 
 
 @partial(

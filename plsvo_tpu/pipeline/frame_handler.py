@@ -205,20 +205,27 @@ class FrameHandlerMono:
             return FrameResult(frame.frame_id, self.stage, QUALITY_INSUFFICIENT,
                                0, 0, False, frame.R_f_w, frame.t_f_w)
         cap = self.cfg.caps.max_klt_fts
-        self._first_uv = targets[:cap].astype(np.float32)
+        # fixed-capacity KLT target table (variable lengths would recompile
+        # the KLT tracker on every bootstrap attempt)
+        n = min(len(targets), cap)
+        self._first_uv = np.zeros((cap, 2), np.float32)
+        self._first_uv[:n] = targets[:n]
+        self._first_ok = np.zeros(cap, bool)
+        self._first_ok[:n] = True
         self.first_frame = frame
         frame.is_keyframe = True
         self.stage = STAGE_SECOND
         return FrameResult(frame.frame_id, STAGE_FIRST, QUALITY_GOOD,
-                           len(self._first_uv), 0, True, frame.R_f_w, frame.t_f_w)
+                           int(self._first_ok.sum()), 0, True,
+                           frame.R_f_w, frame.t_f_w)
 
     def _process_second(self, pyr, ts) -> FrameResult:
         pl = self.cfg.pipeline
         uv0 = self._first_uv
-        n = len(uv0)
         uv_cur, ok, disp = klt_ops.track_klt(
-            self.first_frame.pyr, pyr, jnp.asarray(uv0), jnp.ones(n, bool))
-        ok = np.asarray(ok)
+            self.first_frame.pyr, pyr, jnp.asarray(uv0),
+            jnp.asarray(self._first_ok))
+        ok = np.asarray(ok) & self._first_ok
         disp_med = float(np.median(np.asarray(disp)[ok])) if ok.any() else 0.0
         fail = FrameResult(self.frame_id, self.stage, QUALITY_INSUFFICIENT, 0, 0,
                            False, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
@@ -537,7 +544,8 @@ class FrameHandlerMono:
             and quality == QUALITY_GOOD
         if need_kf:
             frame.is_keyframe = True
-            self._make_keyframe(frame, d_mean, d_min)
+            with self.permon.timer("keyframe_path"):
+                self._make_keyframe(frame, d_mean, d_min)
         # (seed updates already ran inside the fused device step, BEFORE the
         # keyframe's new seeds were initialized — the reference's
         # updateSeeds-then-initializeSeeds order, depth_filter.cpp:256-258)
@@ -596,9 +604,11 @@ class FrameHandlerMono:
             slot = m.furthest_kf_slot(frame.cam_center_w())
             if slot is not None:
                 m.remove_keyframe(slot)
-        m.add_keyframe(frame)
+        with self.permon.timer("kf_install"):
+            m.add_keyframe(frame)
         self.batch_counter += 1
-        self._init_seeds(frame, d_mean, max(d_min * 0.1, 1e-3))
+        with self.permon.timer("kf_init_seeds"):
+            self._init_seeds(frame, d_mean, max(d_min * 0.1, 1e-3))
 
     # ------------------------------------------------------------------
     def _init_seeds(self, frame: FrameState, d_mean, d_min):
@@ -607,30 +617,37 @@ class FrameHandlerMono:
         if d_mean is None:
             return
         pl = self.cfg.pipeline
+        caps = self.cfg.caps
         kf_slot = int(np.where(self.map.kf_frame_id == frame.frame_id)[0][0])
-        occ_uv = np.concatenate([
+        # FIXED-capacity occupancy input: a raw len(valid) array changes
+        # shape every keyframe and forced a fresh XLA compile per KF
+        # (~0.5 s each over the remote-compile tunnel)
+        cap = caps.max_fts + 2 * caps.max_segs
+        occ_uv = np.zeros((cap, 2), np.float32)
+        occ_ok = np.zeros(cap, bool)
+        parts = np.concatenate([
             frame.pt_uv[frame.pt_valid],
             frame.seg_suv[frame.seg_valid], frame.seg_euv[frame.seg_valid]], 0)
+        n_occ = min(len(parts), cap)
+        occ_uv[:n_occ] = parts[:n_occ]
+        occ_ok[:n_occ] = True
         occupied = detection.occupancy_from_positions(
-            jnp.asarray(occ_uv if len(occ_uv) else np.zeros((1, 2), np.float32)),
-            jnp.asarray(np.ones(max(len(occ_uv), 1), bool) if len(occ_uv) else np.zeros(1, bool)),
+            jnp.asarray(occ_uv), jnp.asarray(occ_ok),
             self.cam.width, self.cam.height, pl.grid_size)
-        grid_dev, segs_dev = self._detect_features(frame.pyr)
-        grid, segs, occupied = jax.device_get((grid_dev, segs_dev, occupied))
+        with self.permon.timer("kf_detect"):
+            grid_dev, segs_dev = self._detect_features(frame.pyr)
+            grid, segs, occupied = jax.device_get(
+                (grid_dev, segs_dev, occupied))
         valid = grid.valid & ~occupied
         uv = grid.uv[valid]
         lvl = grid.level[valid]
         f = self._np_unproject(uv) if len(uv) else np.zeros((0, 3), np.float32)
 
         mu, sigma2, z_range = df.seed_init_params(d_mean, d_min)
-        # Rebuild the whole seed table host-side and upload once: a dynamic-
-        # length .at[idx].set would recompile for every distinct free count.
-        cols = jax.device_get((
-            self.pt_seeds.mu, self.pt_seeds.sigma2, self.pt_seeds.z_range,
-            self.pt_seeds.a, self.pt_seeds.b, self.pt_seeds.batch_id,
-            self.pt_seeds.alive))
-        mu_h, s2_h, zr_h, a_h, b_h, bid_h, alive_h = [np.array(c) for c in cols]
-        free = np.where(~alive_h)[0][: len(uv)]
+        # free slots come from the HOST alive mirror (updated every frame's
+        # fetch); new rows scatter into the device tables in one dispatch —
+        # no column fetch, no full-table rebuild/upload.
+        free = np.where(~self._seed_alive)[0][: len(uv)]
         k = len(free)
         if k:
             sh = self._seed_host
@@ -638,34 +655,26 @@ class FrameHandlerMono:
             sh["uv"][free] = uv[:k]
             sh["f"][free] = f[:k]
             sh["level"][free] = lvl[:k]
-            mu_h[free] = mu
-            s2_h[free] = sigma2
-            zr_h[free] = z_range
-            a_h[free] = 10.0
-            b_h[free] = 10.0
-            bid_h[free] = self.batch_counter
-            alive_h[free] = True
             self._seed_alive[free] = True
-            self.pt_seeds = df.PointSeeds(
-                kf_idx=jnp.asarray(sh["kf_idx"]), uv=jnp.asarray(sh["uv"]),
-                f=jnp.asarray(sh["f"]), level=jnp.asarray(sh["level"]),
-                mu=jnp.asarray(mu_h), sigma2=jnp.asarray(s2_h),
-                z_range=jnp.asarray(zr_h), a=jnp.asarray(a_h),
-                b=jnp.asarray(b_h), batch_id=jnp.asarray(bid_h),
-                alive=jnp.asarray(alive_h))
+            B = self._bucket(k, self.cfg.caps.max_seeds)
+            rows = np.zeros(B, np.int32)
+            rows[:k] = free
+            mask = np.zeros(B, bool)
+            mask[:k] = True
+            pad = np.zeros((B - k,), np.int64)
+            self.pt_seeds = df.scatter_new_point_seeds(
+                self.pt_seeds, jnp.asarray(rows), jnp.asarray(mask),
+                jnp.asarray(np.full(B, kf_slot, np.int32)),
+                jnp.asarray(np.concatenate([uv[:k], np.zeros((B - k, 2), np.float32)])),
+                jnp.asarray(np.concatenate([f[:k], np.zeros((B - k, 3), np.float32)])),
+                jnp.asarray(np.concatenate([lvl[:k], pad]).astype(np.int32)),
+                mu, sigma2, z_range, self.batch_counter)
 
         if segs is not None and self.cfg.pipeline.has_ls:
             sv = segs.valid
             sp = segs.sp[sv]
             ep = segs.ep[sv]
-            lcols = jax.device_get((
-                self.ln_seeds.mu_s, self.ln_seeds.sigma2_s, self.ln_seeds.z_range_s,
-                self.ln_seeds.mu_e, self.ln_seeds.sigma2_e, self.ln_seeds.z_range_e,
-                self.ln_seeds.a, self.ln_seeds.b, self.ln_seeds.batch_id,
-                self.ln_seeds.alive))
-            (mus_h, s2s_h, zrs_h, mue_h, s2e_h, zre_h,
-             la_h, lb_h, lbid_h, lalive_h) = [np.array(c) for c in lcols]
-            lfree = np.where(~lalive_h)[0][: len(sp)]
+            lfree = np.where(~self._lnseed_alive)[0][: len(sp)]
             k = len(lfree)
             if k:
                 sf = self._np_unproject(sp[:k])
@@ -677,28 +686,23 @@ class FrameHandlerMono:
                 lh["sf"][lfree] = sf
                 lh["ef"][lfree] = ef
                 lh["level"][lfree] = 0
-                mus_h[lfree] = mu
-                s2s_h[lfree] = sigma2
-                zrs_h[lfree] = z_range
-                mue_h[lfree] = mu
-                s2e_h[lfree] = sigma2
-                zre_h[lfree] = z_range
-                la_h[lfree] = 10.0
-                lb_h[lfree] = 10.0
-                lbid_h[lfree] = self.batch_counter
-                lalive_h[lfree] = True
                 self._lnseed_alive[lfree] = True
-                self.ln_seeds = df.LineSeeds(
-                    kf_idx=jnp.asarray(lh["kf_idx"]),
-                    s_uv=jnp.asarray(lh["s_uv"]), e_uv=jnp.asarray(lh["e_uv"]),
-                    sf=jnp.asarray(lh["sf"]), ef=jnp.asarray(lh["ef"]),
-                    level=jnp.asarray(lh["level"]),
-                    mu_s=jnp.asarray(mus_h), sigma2_s=jnp.asarray(s2s_h),
-                    z_range_s=jnp.asarray(zrs_h),
-                    mu_e=jnp.asarray(mue_h), sigma2_e=jnp.asarray(s2e_h),
-                    z_range_e=jnp.asarray(zre_h),
-                    a=jnp.asarray(la_h), b=jnp.asarray(lb_h),
-                    batch_id=jnp.asarray(lbid_h), alive=jnp.asarray(lalive_h))
+                B = self._bucket(k, self.cfg.caps.max_seed_segs)
+                rows = np.zeros(B, np.int32)
+                rows[:k] = lfree
+                mask = np.zeros(B, bool)
+                mask[:k] = True
+                z2 = np.zeros((B - k, 2), np.float32)
+                z3 = np.zeros((B - k, 3), np.float32)
+                self.ln_seeds = df.scatter_new_line_seeds(
+                    self.ln_seeds, jnp.asarray(rows), jnp.asarray(mask),
+                    jnp.asarray(np.full(B, kf_slot, np.int32)),
+                    jnp.asarray(np.concatenate([sp[:k], z2])),
+                    jnp.asarray(np.concatenate([ep[:k], z2])),
+                    jnp.asarray(np.concatenate([sf, z3])),
+                    jnp.asarray(np.concatenate([ef, z3])),
+                    jnp.asarray(np.zeros(B, np.int32)),
+                    mu, sigma2, z_range, self.batch_counter)
                 self._any_line_seeds = True
 
     @staticmethod

@@ -56,8 +56,10 @@ def main():
     if not args.dataset:
         ap.error("need --dataset or --synthetic")
 
-    camera, sub = ds.load_dataset_params(
-        os.path.join(args.dataset, "dataset_params.yaml"))
+    params = os.path.join(args.dataset, "dataset_params.yaml")
+    if not os.path.isfile(params):
+        ap.error(f"no dataset at {args.dataset!r} ({params} not found)")
+    camera, sub = ds.load_dataset_params(params)
     data = ds.ImageFolderDataset(
         os.path.join(args.dataset, sub), camera,
         offset=args.offset, step=args.step, limit=args.n_frames)
@@ -80,7 +82,9 @@ def main():
         metrics.append({
             "frame": i, "stage": r.stage, "quality": r.quality,
             "n_pt": r.n_pt_matches, "n_seg": r.n_seg_matches,
-            "keyframe": r.is_keyframe, "proc_ms": dt * 1000})
+            "keyframe": r.is_keyframe, "proc_ms": dt * 1000,
+            **{f"t_{k}_ms": round(v * 1000, 2)
+               for k, v in vo.permon.timers.items()}})
         if args.local_ba and r.is_keyframe:
             from plsvo_tpu.parallel import ba
 

@@ -58,8 +58,12 @@ def test_lbd_matching_across_views(rng):
 
 
 def test_lbd_rejects_unrelated(rng):
-    scene_a = synthetic.make_scene(rng, size=512)
-    scene_b = synthetic.make_scene(rng, size=512)
+    # size=1024 so the textured plane fills the view: at 512 the plane's
+    # physical boundary is visible at the SAME image position in both
+    # renders, and those boundary-line matches are genuinely correct —
+    # the scenes would not be unrelated
+    scene_a = synthetic.make_scene(rng, size=1024)
+    scene_b = synthetic.make_scene(rng, size=1024)
     pose = (np.eye(3, dtype=np.float32), np.asarray([0, 0, -2.0], np.float32))
     img_a, _ = synthetic.render_aa(scene_a, CAM, *pose)
     img_b, _ = synthetic.render_aa(scene_b, CAM, *pose)
