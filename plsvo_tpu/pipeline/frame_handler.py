@@ -167,9 +167,22 @@ class FrameHandlerMono:
         (reference: initialization::detectFeatures, initialization.cpp:125-168
         and FrameHandlerMono detector wiring, frame_handler_mono.cpp:63-137)."""
         pl = self.cfg.pipeline
-        grid = detection.detect_fast_grid(
-            pyr[: pl.n_pyr_levels], cell_size=pl.grid_size,
-            score_threshold=pl.triang_min_corner_score)
+        if pl.has_pt:
+            grid = detection.detect_fast_grid(
+                pyr[: pl.n_pyr_levels], cell_size=pl.grid_size,
+                score_threshold=pl.triang_min_corner_score)
+        else:
+            # no-op point detector (reference: has_pt=false swaps in the
+            # abstract no-op detector, frame_handler_mono.cpp:101-113)
+            from plsvo_tpu.ops.detection import grid_cells
+
+            _, _, n_cells = grid_cells(self.cam.width, self.cam.height,
+                                       pl.grid_size)
+            grid = detection.CornerGrid(
+                uv=jnp.zeros((n_cells, 2), jnp.float32),
+                level=jnp.zeros(n_cells, jnp.int32),
+                score=jnp.zeros(n_cells, jnp.float32),
+                valid=jnp.zeros(n_cells, bool))
         segs = None
         if pl.has_ls:
             # detect on level 1 (half res) — the Hough accumulator scatter
@@ -611,6 +624,16 @@ class FrameHandlerMono:
             self._init_seeds(frame, d_mean, max(d_min * 0.1, 1e-3))
 
     # ------------------------------------------------------------------
+    # seed-table access points: BatchedVO overrides these so the tables can
+    # live STACKED on device across a whole batch of sequences (per-vo
+    # materialization only on keyframes)
+    def _get_seed_tables(self):
+        return self.pt_seeds, self.ln_seeds
+
+    def _set_seed_tables(self, pt_seeds, ln_seeds):
+        self.pt_seeds = pt_seeds
+        self.ln_seeds = ln_seeds
+
     def _init_seeds(self, frame: FrameState, d_mean, d_min):
         """Spawn seeds in grid cells not already holding a feature
         (reference: DepthFilter::initializeSeeds, depth_filter.cpp:151-197)."""
@@ -644,6 +667,7 @@ class FrameHandlerMono:
         f = self._np_unproject(uv) if len(uv) else np.zeros((0, 3), np.float32)
 
         mu, sigma2, z_range = df.seed_init_params(d_mean, d_min)
+        pt_tab, ln_tab = self._get_seed_tables()
         # free slots come from the HOST alive mirror (updated every frame's
         # fetch); new rows scatter into the device tables in one dispatch —
         # no column fetch, no full-table rebuild/upload.
@@ -662,8 +686,8 @@ class FrameHandlerMono:
             mask = np.zeros(B, bool)
             mask[:k] = True
             pad = np.zeros((B - k,), np.int64)
-            self.pt_seeds = df.scatter_new_point_seeds(
-                self.pt_seeds, jnp.asarray(rows), jnp.asarray(mask),
+            pt_tab = df.scatter_new_point_seeds(
+                pt_tab, jnp.asarray(rows), jnp.asarray(mask),
                 jnp.asarray(np.full(B, kf_slot, np.int32)),
                 jnp.asarray(np.concatenate([uv[:k], np.zeros((B - k, 2), np.float32)])),
                 jnp.asarray(np.concatenate([f[:k], np.zeros((B - k, 3), np.float32)])),
@@ -694,8 +718,8 @@ class FrameHandlerMono:
                 mask[:k] = True
                 z2 = np.zeros((B - k, 2), np.float32)
                 z3 = np.zeros((B - k, 3), np.float32)
-                self.ln_seeds = df.scatter_new_line_seeds(
-                    self.ln_seeds, jnp.asarray(rows), jnp.asarray(mask),
+                ln_tab = df.scatter_new_line_seeds(
+                    ln_tab, jnp.asarray(rows), jnp.asarray(mask),
                     jnp.asarray(np.full(B, kf_slot, np.int32)),
                     jnp.asarray(np.concatenate([sp[:k], z2])),
                     jnp.asarray(np.concatenate([ep[:k], z2])),
@@ -704,6 +728,7 @@ class FrameHandlerMono:
                     jnp.asarray(np.zeros(B, np.int32)),
                     mu, sigma2, z_range, self.batch_counter)
                 self._any_line_seeds = True
+        self._set_seed_tables(pt_tab, ln_tab)
 
     @staticmethod
     def _bucket(n: int, cap: int) -> int:

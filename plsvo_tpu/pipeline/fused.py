@@ -376,6 +376,56 @@ def track_frame_step(
 
 
 @partial(jax.jit, static_argnames=(
+    "mesh", "mesh_axis",
+    "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
+    "sigma_conv_factor", "n_pyr_seed",
+    "levels", "n_iter_align", "patch_align", "cell_size",
+    "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
+    "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "n_struct_segs", "struct_iters"))
+def track_frame_step_list(
+    per_seq_inputs,  # tuple over sequences of (last_pyr, cur_pyr, kf_pyr,
+    #                  blob, mt, batch_counter) pytrees — stacked INSIDE jit
+    pt_seeds_stacked,  # PointSeeds with leading batch axis (device-resident)
+    ln_seeds_stacked,  # LineSeeds with leading batch axis
+    fx, fy, cx, cy,
+    *,
+    mesh=None,
+    mesh_axis: str = "seq",
+    **kw,
+) -> FullStepResult:
+    """Batched multi-sequence frame step. The per-sequence inputs arrive as
+    SEPARATE pytrees and are stacked inside the jit: eager jnp.stack calls
+    cost ~0.8 ms launch overhead each over the device tunnel, and a frame
+    step has ~60 input arrays — stacking in-graph makes them free. Seed
+    tables stay stacked across frames (BatchedVO holds them). With a mesh,
+    the batch axis is shard-constrained over it and GSPMD partitions the
+    whole vmapped step across devices (pure data parallelism over
+    sequences — BASELINE.json config 4)."""
+    stacked = jax.tree.map(lambda *a: jnp.stack(a), *per_seq_inputs)
+
+    def shard(tree):
+        if mesh is None:
+            return tree
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(mesh_axis))
+        return jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, sh), tree)
+
+    last_pyr, cur_pyr, kf_pyr, blob, mt, batch_counter = shard(stacked)
+    pt_seeds_stacked = shard(pt_seeds_stacked)
+    ln_seeds_stacked = shard(ln_seeds_stacked)
+
+    def step(last_pyr, cur_pyr, kf_pyr, blob, mt, pt_seeds, ln_seeds, bc):
+        return track_frame_step(
+            last_pyr, cur_pyr, kf_pyr, blob, mt, pt_seeds, ln_seeds, bc,
+            fx, fy, cx, cy, **kw)
+
+    return jax.vmap(step)(last_pyr, cur_pyr, kf_pyr, blob, mt,
+                          pt_seeds_stacked, ln_seeds_stacked, batch_counter)
+
+
+@partial(jax.jit, static_argnames=(
     "specs", "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
     "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",

@@ -148,6 +148,44 @@ def test_pipeline_points_only_mode(sequence):
     assert (vo.map.ln_status > 0).sum() == 0
 
 
+def test_pipeline_lines_only_mode(sequence):
+    """has_pt=False runs the line-only pipeline end to end (reference:
+    no-op point detector via the has_pt flag, frame_handler_mono.cpp:72-75).
+    Bootstrap still uses segment start/mid/end as KLT targets
+    (initialization.cpp:158-167), so init works without corners; afterwards
+    tracking must survive on line landmarks alone."""
+    import dataclasses
+
+    scene, poses, imgs = sequence
+    cfg = fast_config()
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, has_pt=False,
+            # line-only has fewer measurements (3 KLT targets per segment):
+            # relax the point-count gates that were tuned for the point
+            # pipeline, as the reference's config would need to
+            quality_min_fts=0, init_min_fts=24, init_min_tracked=16))
+    vo, results = run_pipeline(imgs, cfg)
+    stages = [r.stage for r in results]
+    assert STAGE_DEFAULT in stages, stages
+    tail = results[stages.index(STAGE_DEFAULT):]
+    # tracking survives on the bootstrap landmarks + line measurements
+    assert all(r.stage == STAGE_DEFAULT for r in tail)
+    # line seeds are active and their Bayesian estimates are converging
+    # (sigma shrinks toward the z_range/200 gate; the 28-frame sequence is
+    # too short for full convergence under the noisier line-only pose)
+    assert vo._lnseed_alive.sum() >= 5
+    ln = vo.ln_seeds
+    import numpy as _np
+    alive = _np.asarray(ln.alive)
+    ratio = _np.sqrt(_np.asarray(ln.sigma2_s)) / (
+        _np.asarray(ln.z_range_s) / 200.0)
+    assert (_np.asarray(ln.a)[alive] > 12).sum() >= 4  # inlier evidence grew
+    assert (ratio[alive] < 5).sum() >= 4  # variance dropped 6x+ from init
+    # no NEW point landmarks from the depth filter (no point seeds at all)
+    assert not vo._seed_alive.any()
+
+
 def test_pipeline_local_ba_improves_or_keeps_map(sequence):
     from plsvo_tpu.parallel import ba
 
