@@ -56,7 +56,15 @@ def main():
     imgs.block_until_ready()
     print("rendered", file=sys.stderr)
 
-    vo = FrameHandlerMono(cam, Config())
+    import dataclasses
+
+    from plsvo_tpu.config import PipelineConfig
+
+    # pipelined mode: dispatch-before-fetch (results one frame late) — the
+    # production execution mode; the sync latency and host bookkeeping
+    # overlap the next frame's device compute
+    cfg = Config(pipeline=PipelineConfig(pipelined=True))
+    vo = FrameHandlerMono(cam, cfg)
     # warmup/bootstrap phase (includes XLA compiles)
     times = []
     t_all0 = time.perf_counter()
@@ -64,10 +72,12 @@ def main():
         t0 = time.perf_counter()
         r = vo.add_image(img, i / 30.0)
         dt = time.perf_counter() - t0
-        times.append((r.stage, dt))
-        print(f"frame {i}: stage={r.stage} q={r.quality} npt={r.n_pt_matches} "
-              f"nseg={r.n_seg_matches} kf={r.is_keyframe} {dt*1000:.1f}ms",
-              file=sys.stderr)
+        times.append((r.stage if r is not None else STAGE_DEFAULT, dt))
+        if r is not None:
+            print(f"frame {r.frame_id}: stage={r.stage} q={r.quality} "
+                  f"npt={r.n_pt_matches} nseg={r.n_seg_matches} "
+                  f"kf={r.is_keyframe} {dt*1000:.1f}ms", file=sys.stderr)
+    vo.flush()
     total = time.perf_counter() - t_all0
 
     # steady-state: DEFAULT-stage frames, excluding the first 3 (compile)
@@ -92,11 +102,16 @@ def main():
 
         B = int(os.environ.get("BENCH_BATCH", "8"))
         bvo = BatchedVO(cam, Config(), B)
-        imgs_h = [np.asarray(im) for im in imgs]  # identical streams
+        # stagger the streams (sequence k starts k frames in, wrapping) so
+        # keyframes desynchronize across the batch like real deployments —
+        # identical streams make all B sequences pay the keyframe path in
+        # the same step
+        imgs_h = [np.asarray(im) for im in imgs]
         bt = []
         for i in range(n_frames):
             t0 = time.perf_counter()
-            bvo.add_images([imgs_h[i]] * B, i / 30.0)
+            bvo.add_images([imgs_h[max(0, i - k)] for k in range(B)],
+                           i / 30.0)
             dt = time.perf_counter() - t0
             all_def = all(s == "default" for s in bvo.stages)
             bt.append((dt, all_def))

@@ -27,6 +27,15 @@ class PipelineConfig:
     init_pt: bool = True
     init_ls: bool = True
 
+    # pipelined execution: add_image(i) dispatches frame i BEFORE fetching
+    # frame i-1's results, hiding the device-sync latency and overlapping
+    # host bookkeeping with device compute. Results are returned one frame
+    # late (add_image returns frame i-1's FrameResult; call flush() at end
+    # of sequence). Map updates reach the device one frame later than in
+    # the synchronous mode — the same asynchrony as the reference's
+    # mapping thread.
+    pipelined: bool = False
+
     # pyramid
     n_pyr_levels: int = 3
     n_pyr_levels_segs: int = 1

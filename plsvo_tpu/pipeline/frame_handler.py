@@ -108,6 +108,8 @@ class FrameHandlerMono:
         # step updates seeds at capacity); identity mapping by default
         self._pt_rows = np.arange(caps.max_seeds)
         self._ln_rows = np.arange(caps.max_seed_segs)
+        # pipelined-mode in-flight frame: (FrameState, FullStepResult)
+        self._pipe = None
         # trace plane (reference permon channels, frame_handler_base.cpp:58-86)
         self.permon = PerformanceMonitor()
 
@@ -155,10 +157,11 @@ class FrameHandlerMono:
         else:
             raise RuntimeError(f"stage {self.stage}")
         self.frame_id += 1
-        self.results.append(res)
         self.permon.timers["tot_time"] = time.perf_counter() - t_tot
-        self.permon.log("img_align_n_tracked", res.n_pt_matches)
-        self.permon.log("n_seg_tracked", res.n_seg_matches)
+        if res is not None:  # None = pipelined mode's fill frame
+            self.results.append(res)
+            self.permon.log("img_align_n_tracked", res.n_pt_matches)
+            self.permon.log("n_seg_tracked", res.n_seg_matches)
         return res
 
     # ------------------------------------------------------------------
@@ -416,6 +419,8 @@ class FrameHandlerMono:
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy)
 
     def _process_frame(self, pyr, ts) -> FrameResult:
+        if self.cfg.pipeline.pipelined:
+            return self._process_frame_pipelined(pyr, ts)
         last = self.last_frame
         frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
                                  last.R_f_w.copy(), last.t_f_w.copy())
@@ -437,6 +442,70 @@ class FrameHandlerMono:
         got = tuple(g for g in (pt_conv, ln_conv) if g is not None)
         self._apply_harvest(got, pt_conv is not None, ln_conv is not None)
         return self._post_fused(frame, res)
+
+    # -- pipelined mode ------------------------------------------------
+    def _process_frame_pipelined(self, pyr, ts) -> Optional[FrameResult]:
+        """Dispatch frame i BEFORE fetching frame i-1 (hides the sync;
+        host bookkeeping overlaps device compute). Returns frame i-1's
+        result, or None on the first pipelined frame."""
+        frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
+                                 self.last_frame.R_f_w.copy(),
+                                 self.last_frame.t_f_w.copy())
+        kwargs = self._step_kwargs()
+        pl = self.cfg.pipeline
+        common = (self.map.kf_pyr[: pl.n_pyr_levels],)
+        fid = jnp.asarray(self.frame_id, jnp.int32)
+        with self.permon.timer("sparse_img_align"):
+            if self._pipe is None:
+                # pipeline start: host tables of the last (bootstrap) frame
+                step = fused.track_frame_step(
+                    self.last_frame.pyr, pyr, *common,
+                    self._last_blob(self.last_frame), self._map_tables(),
+                    self.pt_seeds, self.ln_seeds,
+                    jnp.asarray(self.batch_counter, jnp.int32),
+                    self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                    emit_next=True, frame_id=fid, **kwargs)
+            else:
+                prev_frame, prev_step = self._pipe
+                kw_t = {k: v for k, v in kwargs.items() if k != "specs"}
+                step = fused.track_frame_step_tables(
+                    prev_frame.pyr, pyr, *common,
+                    prev_step.next, self._map_tables(),
+                    self.pt_seeds, self.ln_seeds,
+                    jnp.asarray(self.batch_counter, jnp.int32),
+                    self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                    frame_id=fid, **kw_t)
+        self.pt_seeds = step.pt_seeds
+        self.ln_seeds = step.ln_seeds
+
+        out = None
+        if self._pipe is not None:
+            out = self._finish_pipelined()
+        if self.stage == STAGE_RELOCALIZING:
+            # frame i-1 failed: frame i consumed poisoned inputs — drop it
+            # and let relocalization restart from the map
+            return out
+        self._pipe = (frame, step)
+        self.last_frame = frame
+        return out
+
+    def _finish_pipelined(self) -> FrameResult:
+        """Fetch + bookkeep the in-flight frame (its device compute has
+        been overlapping our caller's work since the previous add_image)."""
+        frame, step = self._pipe
+        self._pipe = None
+        with self.permon.timer("reproject"):
+            res, pt_conv, ln_conv = jax.device_get(
+                (step.fused, step.pt_conv, step.ln_conv))
+        got = tuple(g for g in (pt_conv, ln_conv) if g is not None)
+        self._apply_harvest(got, pt_conv is not None, ln_conv is not None)
+        return self._post_fused(frame, res)
+
+    def flush(self) -> Optional[FrameResult]:
+        """Drain the pipelined in-flight frame (call at sequence end)."""
+        if self.cfg.pipeline.pipelined and self._pipe is not None:
+            return self._finish_pipelined()
+        return None
 
     def _post_fused(self, frame: FrameState, res) -> FrameResult:
         """Host bookkeeping after the fused core (counters, deletion rules,
@@ -931,3 +1000,4 @@ class FrameHandlerMono:
         self._seed_alive[:] = False
         self._lnseed_alive[:] = False
         self._any_line_seeds = False
+        self._pipe = None

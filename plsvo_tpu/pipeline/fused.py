@@ -306,11 +306,69 @@ class FullStepResult(NamedTuple):
     ln_seeds: object  # LineSeeds or None
     pt_conv: object  # (converged, depth, alive) or None
     ln_conv: object  # (converged, depth_s, depth_e, alive) or None
+    next: object = None  # NextFrameInputs (pipelined mode) or None
+
+
+class NextFrameInputs(NamedTuple):
+    """Device-resident inputs for the NEXT frame's step (pipelined mode):
+    the host never needs to see this frame's results before dispatching the
+    next frame — the ~25 ms fetch sync and the host bookkeeping overlap
+    with the next frame's device compute."""
+
+    last: LastFrameTables  # this frame's matched features as align inputs
+    R_last: jnp.ndarray  # stabilized (Gram-Schmidt) optimized pose
+    t_last: jnp.ndarray
+    pt_last_optim: jnp.ndarray  # (P,) f32, updated with this frame's
+    ln_last_optim: jnp.ndarray  # structure-opt selections
+
+
+def _gram_schmidt(R):
+    """Row-wise Gram-Schmidt, identical to the host drift control in
+    FrameHandlerMono._post_fused."""
+    x = R[0] / jnp.maximum(jnp.linalg.norm(R[0]), 1e-12)
+    y = R[1] - jnp.dot(x, R[1]) * x
+    y = y / jnp.maximum(jnp.linalg.norm(y), 1e-12)
+    return jnp.stack([x, y, jnp.cross(x, y)])
+
+
+def build_next_inputs(res: FusedResult, mt: MapTables,
+                      pt_last_optim, ln_last_optim,
+                      frame_id: jnp.ndarray) -> NextFrameInputs:
+    """Assemble the next frame's align inputs from this frame's results, on
+    device. Matches the host path (_last_blob) except: landmark-status
+    deletions decided by host counters lag one frame (the row is still
+    masked by matched & inlier, so at worst a just-deleted landmark
+    contributes one extra frame of photometric alignment)."""
+    R = _gram_schmidt(res.R_f_w)
+    t = res.t_f_w
+    center = -R.T @ t
+    lm = res.pt.lm_idx
+    pt_valid = res.pt.matched & res.pt_inlier & (mt.pt_status[lm] > 0)
+    pt_depth = jnp.linalg.norm(mt.pt_pos[lm] - center[None], axis=-1)
+    slm = res.seg.lm_idx
+    seg_valid = res.seg.matched & res.seg_inlier & (mt.ln_status[slm] > 0)
+    s_depth = jnp.linalg.norm(mt.ln_spos[slm] - center[None], axis=-1)
+    e_depth = jnp.linalg.norm(mt.ln_epos[slm] - center[None], axis=-1)
+    last = LastFrameTables(
+        pt_uv=res.pt.uv, pt_f=res.pt_f_cur, pt_depth=pt_depth,
+        pt_valid=pt_valid,
+        seg_suv=res.seg.s_uv, seg_euv=res.seg.e_uv,
+        seg_sf=res.seg_sf_cur, seg_ef=res.seg_ef_cur,
+        seg_sdepth=s_depth, seg_edepth=e_depth, seg_valid=seg_valid)
+    fid = frame_id.astype(jnp.float32)
+    plo = pt_last_optim.at[jnp.where(res.st_pt_valid, res.st_pt_lm,
+                                     pt_last_optim.shape[0])].set(
+        fid, mode="drop")
+    llo = ln_last_optim.at[jnp.where(res.st_ln_valid, res.st_ln_lm,
+                                     ln_last_optim.shape[0])].set(
+        fid, mode="drop")
+    return NextFrameInputs(last=last, R_last=R, t_last=t,
+                           pt_last_optim=plo, ln_last_optim=llo)
 
 
 @partial(jax.jit, static_argnames=(
     "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "sigma_conv_factor", "n_pyr_seed",
+    "sigma_conv_factor", "n_pyr_seed", "emit_next",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
     "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
@@ -329,6 +387,8 @@ def track_frame_step(
     max_seed_kfs: int,
     sigma_conv_factor: float,
     n_pyr_seed: int,
+    emit_next: bool = False,
+    frame_id=None,  # () int32, required when emit_next
     **kw,
 ) -> FullStepResult:
     """The COMPLETE tracked-frame device program: align -> reproject ->
@@ -339,11 +399,73 @@ def track_frame_step(
     keyframes the host initializes NEW seeds after this step, i.e. the
     reference's updateSeeds-then-initializeSeeds order
     (depth_filter.cpp:256-258)."""
+    (pt_uv, pt_f, pt_depth, pt_valid, seg_suv, seg_euv, seg_sf, seg_ef,
+     seg_sdepth, seg_edepth, seg_valid, R_last, t_last,
+     pt_last_optim, ln_last_optim) = unpack_blob(blob, specs)
+    last = LastFrameTables(
+        pt_uv=pt_uv, pt_f=pt_f, pt_depth=pt_depth, pt_valid=pt_valid,
+        seg_suv=seg_suv, seg_euv=seg_euv, seg_sf=seg_sf, seg_ef=seg_ef,
+        seg_sdepth=seg_sdepth, seg_edepth=seg_edepth, seg_valid=seg_valid)
+    return _track_frame_step_impl(
+        last_pyr, cur_pyr, kf_pyr, last, R_last, t_last,
+        pt_last_optim, ln_last_optim, mt, pt_seeds, ln_seeds,
+        batch_counter, fx, fy, cx, cy,
+        update_pt_seeds=update_pt_seeds, update_ln_seeds=update_ln_seeds,
+        max_seed_kfs=max_seed_kfs, sigma_conv_factor=sigma_conv_factor,
+        n_pyr_seed=n_pyr_seed, emit_next=emit_next, frame_id=frame_id, **kw)
+
+
+@partial(jax.jit, static_argnames=(
+    "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
+    "sigma_conv_factor", "n_pyr_seed", "emit_next",
+    "levels", "n_iter_align", "patch_align", "cell_size",
+    "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
+    "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "n_struct_segs", "struct_iters"))
+def track_frame_step_tables(
+    last_pyr, cur_pyr, kf_pyr,
+    nxt: "NextFrameInputs",  # device-resident (produced by the PREVIOUS step)
+    mt: MapTables,
+    pt_seeds, ln_seeds,
+    batch_counter,
+    fx, fy, cx, cy,
+    *,
+    frame_id,
+    **kw,
+) -> FullStepResult:
+    """Pipelined-mode step: align inputs come from the previous step's
+    device-resident NextFrameInputs — no host blob, no fetch needed before
+    dispatch."""
+    return _track_frame_step_impl(
+        last_pyr, cur_pyr, kf_pyr, nxt.last, nxt.R_last, nxt.t_last,
+        nxt.pt_last_optim, nxt.ln_last_optim, mt, pt_seeds, ln_seeds,
+        batch_counter, fx, fy, cx, cy, emit_next=True, frame_id=frame_id,
+        **kw)
+
+
+def _track_frame_step_impl(
+    last_pyr, cur_pyr, kf_pyr,
+    last: LastFrameTables, R_last, t_last,
+    pt_last_optim, ln_last_optim,
+    mt: MapTables,
+    pt_seeds, ln_seeds,
+    batch_counter,
+    fx, fy, cx, cy,
+    *,
+    update_pt_seeds: bool,
+    update_ln_seeds: bool,
+    max_seed_kfs: int,
+    sigma_conv_factor: float,
+    n_pyr_seed: int,
+    emit_next: bool,
+    frame_id,
+    **kw,
+) -> FullStepResult:
     from plsvo_tpu.ops import depth_filter as df
 
-    res = track_frame_core_blob(
-        last_pyr, cur_pyr, kf_pyr, blob, mt, fx, fy, cx, cy,
-        specs=specs, **kw)
+    res = track_frame_core(
+        last_pyr, cur_pyr, kf_pyr, last, R_last, t_last, mt,
+        pt_last_optim, ln_last_optim, fx, fy, cx, cy, **kw)
 
     # keyframe poses cam->world for the seed anchors
     R_w_kf = jnp.swapaxes(mt.kf_R, -1, -2)
@@ -371,8 +493,13 @@ def track_frame_step(
         ln_conv = (lres.converged, lres.depth_s, lres.depth_e,
                    lres.seeds.alive)
 
+    nxt = None
+    if emit_next:
+        nxt = build_next_inputs(res, mt, pt_last_optim, ln_last_optim,
+                                frame_id)
+
     return FullStepResult(fused=res, pt_seeds=pt_seeds, ln_seeds=ln_seeds,
-                          pt_conv=pt_conv, ln_conv=ln_conv)
+                          pt_conv=pt_conv, ln_conv=ln_conv, next=nxt)
 
 
 @partial(jax.jit, static_argnames=(

@@ -186,6 +186,58 @@ def test_pipeline_lines_only_mode(sequence):
     assert not vo._seed_alive.any()
 
 
+def test_pipeline_pipelined_mode_matches(sequence):
+    """Pipelined execution (dispatch-before-fetch, results one frame late)
+    must track the same trajectory as the synchronous mode: map updates
+    reach the device one frame later, which is the same asynchrony the
+    reference's mapping thread introduces."""
+    import dataclasses
+
+    scene, poses, imgs = sequence
+    cfg = fast_config()
+    cfg_p = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, pipelined=True))
+
+    vo_s, res_s = run_pipeline(imgs, cfg)
+    vo_p = FrameHandlerMono(CAM, cfg_p)
+    res_p = []
+    for i, img in enumerate(imgs):
+        r = vo_p.add_image(img, i / 30.0)
+        if r is not None:
+            res_p.append(r)
+    tail = vo_p.flush()
+    if tail is not None:
+        res_p.append(tail)
+
+    # same frames tracked (one-frame-late delivery, same count)
+    ids_s = [r.frame_id for r in res_s if r.stage == STAGE_DEFAULT]
+    ids_p = [r.frame_id for r in res_p if r.stage == STAGE_DEFAULT]
+    assert ids_p == ids_s
+    # poses agree against GT: both modes within the same ATE regime
+    def ate(results):
+        est = {r.frame_id: (r.R_f_w, r.t_f_w) for r in results
+               if r.stage == STAGE_DEFAULT}
+        errs = []
+        # relative translation error vs GT deltas (scale-free sanity)
+        ks = sorted(est)
+        for a, b in zip(ks[:-1], ks[1:]):
+            Ra, ta = est[a]
+            Rb, tb = est[b]
+            # camera centers
+            ca = -Ra.T @ ta
+            cb = -Rb.T @ tb
+            Rg_a, tg_a = poses[a]
+            Rg_b, tg_b = poses[b]
+            # GT renders use T_w_c: center IS tg
+            d_est = np.linalg.norm(cb - ca)
+            d_gt = np.linalg.norm(tg_b - tg_a)
+            errs.append(abs(d_est - d_gt))
+        return float(np.median(errs))
+
+    e_s, e_p = ate(res_s), ate(res_p)
+    assert e_p < max(2.5 * e_s, 0.004), (e_p, e_s)
+
+
 def test_pipeline_local_ba_improves_or_keeps_map(sequence):
     from plsvo_tpu.parallel import ba
 
