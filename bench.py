@@ -41,29 +41,42 @@ def main():
     rng = np.random.default_rng(3)
     scene = synthetic.make_scene(rng, size=2048, texel_size=0.003)
 
-    n_frames = 36
-    print(f"rendering {n_frames} frames...", file=sys.stderr)
-    Rs, ts_ = [], []
-    for i in range(n_frames):
-        ang = 0.002 * i
-        Rs.append(np.asarray(
-            [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
-             [-np.sin(ang), 0, np.cos(ang)]], np.float32))
-        ts_.append(np.asarray([0.03 * i, 0.008 * np.sin(0.3 * i), -2.0], np.float32))
-    # keep frames on device: fetching 36x1.4MB over the tunnel dwarfs
-    # everything else
-    imgs = synthetic.render_batch_aa(scene, cam, np.stack(Rs), np.stack(ts_), ss=2)
+    n_frames = 72
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_frames.npz")
+    if os.path.exists(cache) and np.load(cache)["imgs"].shape[0] == n_frames:
+        print("loading cached frames...", file=sys.stderr)
+        imgs = jnp.asarray(np.load(cache)["imgs"])
+    else:
+        print(f"rendering {n_frames} frames...", file=sys.stderr)
+        Rs, ts_ = [], []
+        for i in range(n_frames):
+            ang = 0.002 * i
+            Rs.append(np.asarray(
+                [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                 [-np.sin(ang), 0, np.cos(ang)]], np.float32))
+            ts_.append(np.asarray(
+                [0.03 * i, 0.008 * np.sin(0.3 * i), -2.0], np.float32))
+        # chunked: one 72-frame supersampled render batch exceeds HBM
+        chunks = []
+        for c in range(0, n_frames, 18):
+            chunks.append(np.asarray(synthetic.render_batch_aa(
+                scene, cam, np.stack(Rs[c:c + 18]), np.stack(ts_[c:c + 18]),
+                ss=2)))
+        imgs = jnp.asarray(np.concatenate(chunks, 0))
+        np.savez_compressed(cache, imgs=np.asarray(imgs))
+        print("rendered", file=sys.stderr)
     imgs.block_until_ready()
-    print("rendered", file=sys.stderr)
 
     import dataclasses
 
     from plsvo_tpu.config import PipelineConfig
 
-    # pipelined mode: dispatch-before-fetch (results one frame late) — the
-    # production execution mode; the sync latency and host bookkeeping
-    # overlap the next frame's device compute
-    cfg = Config(pipeline=PipelineConfig(pipelined=True))
+    # pipelined mode: dispatch-before-fetch (results up to depth frames
+    # late) — the production execution mode; the ~28 ms/fetch wire latency
+    # amortizes over pipeline_depth frames and host bookkeeping overlaps
+    # device compute
+    cfg = Config(pipeline=PipelineConfig(pipelined=True, pipeline_depth=4))
     vo = FrameHandlerMono(cam, cfg)
     # warmup/bootstrap phase (includes XLA compiles)
     times = []
@@ -80,13 +93,17 @@ def main():
     vo.flush()
     total = time.perf_counter() - t_all0
 
-    # steady-state: DEFAULT-stage frames, excluding the first 3 (compile)
+    # steady-state: the last half of the DEFAULT-stage frames — by then the
+    # seed-table width buckets have stabilized, so no program-variant
+    # compiles/loads remain in the window. MEAN, not median: pipelined
+    # execution delivers work in bursts (depth-1 cheap dispatch-only calls
+    # then one burst fetch) and a median would only see the cheap calls.
     default_times = [dt for s, dt in times if s == STAGE_DEFAULT]
-    if len(default_times) > 6:
-        steady = default_times[3:]
+    if len(default_times) > 10:
+        steady = default_times[len(default_times) // 2:]
     else:
         steady = default_times or [total / n_frames]
-    per_frame = float(np.median(steady))
+    per_frame = float(np.mean(steady))
     fps = 1.0 / per_frame
 
     out = {
@@ -101,7 +118,8 @@ def main():
         from plsvo_tpu.parallel.multi_vo import BatchedVO
 
         B = int(os.environ.get("BENCH_BATCH", "8"))
-        bvo = BatchedVO(cam, Config(), B)
+        bvo = BatchedVO(cam, Config(pipeline=PipelineConfig(
+            pipelined=True, pipeline_depth=4)), B)
         # stagger the streams (sequence k starts k frames in, wrapping) so
         # keyframes desynchronize across the batch like real deployments —
         # identical streams make all B sequences pay the keyframe path in
@@ -117,10 +135,12 @@ def main():
             bt.append((dt, all_def))
             print(f"batched frame {i}: {dt*1000:.1f}ms "
                   f"stages={set(bvo.stages)}", file=sys.stderr)
+        bvo.flush()
         defaults = [dt for dt, ok in bt if ok]
-        steady_b = defaults[3:] if len(defaults) > 6 else defaults
+        steady_b = (defaults[len(defaults) // 2:]
+                    if len(defaults) > 6 else defaults)
         if steady_b:
-            per = float(np.median(steady_b))
+            per = float(np.mean(steady_b))
             out["batched_fps_b8"] = round(B / per, 2)
             out["batched_seqs"] = B
 

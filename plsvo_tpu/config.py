@@ -35,6 +35,11 @@ class PipelineConfig:
     # the synchronous mode — the same asynchrony as the reference's
     # mapping thread.
     pipelined: bool = False
+    # how many frames stay in flight before a burst fetch: each device
+    # fetch costs ~28 ms of wire latency on the remote-TPU tunnel
+    # regardless of payload, so fetching every K frames amortizes it K-fold
+    # (results then arrive in bursts of K, map updates lag up to K frames).
+    pipeline_depth: int = 1
 
     # pyramid
     n_pyr_levels: int = 3

@@ -12,12 +12,19 @@ stacked INSIDE the jit; the seed tables live STACKED on device across
 frames and are materialized per sequence only when that sequence's host
 path needs them (keyframe seed init, leaving the batch).
 
+Pipelined mode (cfg.pipeline.pipelined): batched steps chain on device
+through NextFrameInputs — frame i's batched step is dispatched BEFORE any
+of frames i-1..i-depth+1 are fetched, and results are burst-fetched every
+pipeline_depth frames in ONE sync (including deferred keyframe
+seed-detection results). This is the batched analogue of the single-seq
+pipelined execution in FrameHandlerMono._process_frame_pipelined.
+
 Sequences still in bootstrap (FIRST/SECOND) or relocalizing run their own
 staged path for that frame; once in DEFAULT they join the batch.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -41,10 +48,21 @@ class BatchedVO:
         self.cfg = cfg
         self.mesh = mesh
         self.axis = axis
+        self.pipelined = bool(cfg.pipeline.pipelined)
+        self.depth = max(1, cfg.pipeline.pipeline_depth)
+        for vo in self.vos:
+            # a vo that falls out of the batch (bootstrap/relocalization)
+            # runs its per-seq frames synchronously; in pipelined mode its
+            # keyframe seed detection still defers into OUR burst fetch
+            vo._force_sync = True
+            vo._defer_seed_init = self.pipelined
         # stacked device-resident seed tables for the current batch members
         self._seeds_idx: Optional[tuple] = None
         self._pt_stack = None
         self._ln_stack = None
+        # pipelined mode: in-flight batched steps + finished result lists
+        self._bq: List = []  # (default_idx, frames, step)
+        self._bready: List[list] = []
 
     # -- stacked-seed bookkeeping ---------------------------------------
     def _materialize_seeds(self):
@@ -70,10 +88,55 @@ class BatchedVO:
             lambda *a: jnp.stack(a), *[self.vos[i].ln_seeds for i in idx])
         self._seeds_idx = tuple(idx)
 
-    def add_images(self, imgs: Sequence, timestamp: float):
-        """One frame for every sequence. imgs: list/array of B images."""
+    def _batch_kwargs(self, default_idx):
+        """Static step kwargs unified across the batch."""
+        kwargs = self.vos[default_idx[0]]._step_kwargs()
+        # static flags must agree across the batch: force the seed stages
+        # ON when any member needs them (a no-alive table just no-ops)
+        kwargs["update_pt_seeds"] = any(
+            self.vos[i]._seed_alive.any() for i in default_idx)
+        kwargs["update_ln_seeds"] = bool(
+            self.cfg.pipeline.has_ls and any(
+                self.vos[i]._any_line_seeds for i in default_idx))
+        # static seed widths must agree across the batch: take the max
+        caps = self.cfg.caps
+        pw = [self.vos[i]._live_width(self.vos[i]._seed_alive,
+                                      caps.max_seeds, 128)
+              for i in default_idx]
+        lw = [self.vos[i]._live_width(self.vos[i]._lnseed_alive,
+                                      caps.max_seed_segs, 64)
+              for i in default_idx]
+        kwargs["pt_width"] = None if any(w is None for w in pw) else max(pw)
+        kwargs["ln_width"] = None if any(w is None for w in lw) else max(lw)
+        return kwargs
+
+    def _mesh_for(self, default_idx):
+        if self.mesh is not None and \
+                len(default_idx) % self.mesh.shape[self.axis] == 0:
+            return self.mesh
+        return None
+
+    def _new_frames(self, default_idx, imgs, timestamp):
+        """Per-seq pyramids + empty FrameStates for this step."""
         from plsvo_tpu.image import build_pyramid
 
+        frames = []
+        pyrs = []
+        for i in default_idx:
+            vo = self.vos[i]
+            pyr = build_pyramid(jnp.asarray(np.asarray(imgs[i]),
+                                            jnp.float32), vo.n_levels)
+            last = vo.last_frame
+            frames.append(FrameState.empty(
+                vo.cfg, vo.frame_id, timestamp, pyr,
+                last.R_f_w.copy(), last.t_f_w.copy()))
+            pyrs.append(pyr)
+        return frames, pyrs
+
+    def add_images(self, imgs: Sequence, timestamp: float):
+        """One frame for every sequence. imgs: list/array of B images."""
+        if self.pipelined:
+            return self._add_images_pipelined(imgs, timestamp)
         results = [None] * len(self.vos)
         default_idx = [
             i for i, vo in enumerate(self.vos) if vo.stage == STAGE_DEFAULT]
@@ -91,40 +154,22 @@ class BatchedVO:
             return results
 
         self._ensure_stack(default_idx)
-        # static flags must agree across the batch: force the seed stages
-        # ON when any member needs them (a no-alive table just no-ops)
-        kwargs = self.vos[default_idx[0]]._step_kwargs()
-        kwargs["update_pt_seeds"] = any(
-            self.vos[i]._seed_alive.any() for i in default_idx)
-        kwargs["update_ln_seeds"] = bool(
-            self.cfg.pipeline.has_ls and any(
-                self.vos[i]._any_line_seeds for i in default_idx))
-
+        kwargs = self._batch_kwargs(default_idx)
+        frames, pyrs = self._new_frames(default_idx, imgs, timestamp)
         inputs = []
-        frames = []
-        for i in default_idx:
+        for k, i in enumerate(default_idx):
             vo = self.vos[i]
-            pyr = build_pyramid(jnp.asarray(np.asarray(imgs[i]),
-                                            jnp.float32), vo.n_levels)
-            last = vo.last_frame
-            frames.append(FrameState.empty(
-                vo.cfg, vo.frame_id, timestamp, pyr,
-                last.R_f_w.copy(), last.t_f_w.copy()))
             pl = vo.cfg.pipeline
             inputs.append((
-                last.pyr, pyr, vo.map.kf_pyr[: pl.n_pyr_levels],
-                vo._last_blob(last), vo._map_tables(),
+                vo.last_frame.pyr, pyrs[k], vo.map.kf_pyr[: pl.n_pyr_levels],
+                vo._last_blob(vo.last_frame), vo._map_tables(),
                 jnp.asarray(vo.batch_counter, jnp.int32)))
 
         cam = self.cam
-        mesh = None
-        if self.mesh is not None and \
-                len(default_idx) % self.mesh.shape[self.axis] == 0:
-            mesh = self.mesh
         step_b = fused.track_frame_step_list(
             tuple(inputs), self._pt_stack, self._ln_stack,
             cam.fx, cam.fy, cam.cx, cam.cy,
-            mesh=mesh, mesh_axis=self.axis, **kwargs)
+            mesh=self._mesh_for(default_idx), mesh_axis=self.axis, **kwargs)
         # seed tables stay stacked on device for the next frame
         self._pt_stack = step_b.pt_seeds
         self._ln_stack = step_b.ln_seeds
@@ -135,24 +180,170 @@ class BatchedVO:
 
         for k, i in enumerate(default_idx):
             vo = self.vos[i]
-            pt_c = (None if pt_conv_b is None
-                    else jax.tree.map(lambda a: a[k], pt_conv_b))
-            ln_c = (None if ln_conv_b is None
-                    else jax.tree.map(lambda a: a[k], ln_conv_b))
-            got = tuple(g for g in (pt_c, ln_c) if g is not None)
-            vo._apply_harvest(got, pt_c is not None, ln_c is not None)
-            # keyframe seed init must read/write THIS vo's rows of the
-            # stacked tables (rare: only on keyframes)
-            self._install_seed_hooks(vo, k)
-            try:
-                res_k = jax.tree.map(lambda a: a[k], res_f)
-                r = vo._post_fused(frames[k], res_k)
-            finally:
-                self._remove_seed_hooks(vo)
+            r = self._finish_one(vo, k, frames[k], res_f, pt_conv_b,
+                                 ln_conv_b)
             vo.frame_id += 1
             vo.results.append(r)
             results[i] = r
         return results
+
+    def _finish_one(self, vo, k, frame, res_f, pt_conv_b, ln_conv_b):
+        """Slice sequence k out of fetched batch results and run the
+        host bookkeeping for it."""
+        pt_c = (None if pt_conv_b is None
+                else jax.tree.map(lambda a: a[k], pt_conv_b))
+        ln_c = (None if ln_conv_b is None
+                else jax.tree.map(lambda a: a[k], ln_conv_b))
+        got = tuple(g for g in (pt_c, ln_c) if g is not None)
+        vo._apply_harvest(got, pt_c is not None, ln_c is not None)
+        # keyframe seed init must read/write THIS vo's rows of the
+        # stacked tables (rare: only on keyframes)
+        self._install_seed_hooks(vo, k)
+        try:
+            res_k = jax.tree.map(lambda a: a[k], res_f)
+            return vo._post_fused(frame, res_k)
+        finally:
+            self._remove_seed_hooks(vo)
+
+    # -- pipelined batched mode -----------------------------------------
+    def _add_images_pipelined(self, imgs, timestamp):
+        """Dispatch the batched step for this frame, chained on device from
+        the previous step; burst-fetch every `depth` frames."""
+        results = [None] * len(self.vos)
+        default_idx = [
+            i for i, vo in enumerate(self.vos) if vo.stage == STAGE_DEFAULT]
+        # membership changing (bootstrap finishing, relocalization) forces
+        # a full drain: in-flight steps are only valid for their member set
+        if self._bq and tuple(default_idx) != self._bq[-1][0]:
+            self._drain_batched(keep=0)
+            default_idx = [i for i, vo in enumerate(self.vos)
+                           if vo.stage == STAGE_DEFAULT]
+        other_idx = [i for i in range(len(self.vos)) if i not in default_idx]
+        if other_idx:
+            if self._bq:
+                self._drain_batched(keep=0)
+                default_idx = [i for i, vo in enumerate(self.vos)
+                               if vo.stage == STAGE_DEFAULT]
+                other_idx = [i for i in range(len(self.vos))
+                             if i not in default_idx]
+            if self._seeds_idx is not None and any(
+                    i in self._seeds_idx for i in other_idx):
+                self._materialize_seeds()
+        for i in other_idx:
+            results[i] = self.vos[i].add_image(imgs[i], timestamp)
+
+        if default_idx:
+            self._ensure_stack(default_idx)
+            kwargs = self._batch_kwargs(default_idx)
+            frames, pyrs = self._new_frames(default_idx, imgs, timestamp)
+            cam = self.cam
+            mesh = self._mesh_for(default_idx)
+            if not self._bq:
+                # pipeline start: host blobs of the last finalized frames
+                inputs = []
+                fids = []
+                for k, i in enumerate(default_idx):
+                    vo = self.vos[i]
+                    pl = vo.cfg.pipeline
+                    inputs.append((
+                        vo.last_frame.pyr, pyrs[k],
+                        vo.map.kf_pyr[: pl.n_pyr_levels],
+                        vo._last_blob(vo.last_frame), vo._map_tables(),
+                        jnp.asarray(vo.batch_counter, jnp.int32)))
+                    fids.append(np.int32(vo.frame_id))
+                step_b = fused.track_frame_step_list(
+                    tuple(inputs), self._pt_stack, self._ln_stack,
+                    cam.fx, cam.fy, cam.cx, cam.cy,
+                    mesh=mesh, mesh_axis=self.axis,
+                    frame_ids=tuple(fids), emit_next=True, **kwargs)
+            else:
+                prev_step = self._bq[-1][2]
+                kw_t = {k: v for k, v in kwargs.items() if k != "specs"}
+                inputs = []
+                for k, i in enumerate(default_idx):
+                    vo = self.vos[i]
+                    pl = vo.cfg.pipeline
+                    inputs.append((
+                        vo.last_frame.pyr, pyrs[k],
+                        vo.map.kf_pyr[: pl.n_pyr_levels], vo._map_tables(),
+                        jnp.asarray(vo.batch_counter, jnp.int32),
+                        jnp.asarray(vo.frame_id, jnp.int32)))
+                step_b = fused.track_frame_step_tables_list(
+                    tuple(inputs), prev_step.next,
+                    self._pt_stack, self._ln_stack,
+                    cam.fx, cam.fy, cam.cx, cam.cy,
+                    mesh=mesh, mesh_axis=self.axis, **kw_t)
+            self._pt_stack = step_b.pt_seeds
+            self._ln_stack = step_b.ln_seeds
+            for k, i in enumerate(default_idx):
+                self.vos[i].last_frame = frames[k]
+                self.vos[i].frame_id += 1
+            self._bq.append((tuple(default_idx), frames, step_b))
+            if len(self._bq) > self.depth:
+                self._drain_batched(keep=1)
+
+        if self._bready:
+            ready = self._bready.pop(0)
+            for i, r in enumerate(ready):
+                if results[i] is None:
+                    results[i] = r
+        return results
+
+    def _drain_batched(self, keep: int):
+        """Burst-fetch the oldest in-flight batched steps (ONE sync for all
+        of them + any deferred keyframe seed-detection results), then run
+        the per-sequence host bookkeeping."""
+        n = len(self._bq) - keep
+        if n <= 0:
+            return
+        take = [self._bq.pop(0) for _ in range(n)]
+        newest = self._bq[-1] if self._bq else None
+        # deferred KF seed inits from the previous burst (vo rows recorded
+        # at detection-dispatch time)
+        pend = []
+        for i, vo in enumerate(self.vos):
+            for ent in vo._pending_seed_init:
+                pend.append((i, ent))
+            vo._pending_seed_init = []
+        got, init_got = jax.device_get((
+            [(s.fused, s.pt_conv, s.ln_conv) for _, _, s in take],
+            [h for (_, (_, _, _, h)) in pend]))
+        for (i, (kf_slot, dm, dmin, _)), fetched in zip(pend, init_got):
+            vo = self.vos[i]
+            if self._seeds_idx is not None and i in self._seeds_idx:
+                self._install_seed_hooks(vo, self._seeds_idx.index(i))
+                try:
+                    vo._complete_seed_init(kf_slot, dm, dmin, *fetched)
+                finally:
+                    self._remove_seed_hooks(vo)
+            else:
+                vo._complete_seed_init(kf_slot, dm, dmin, *fetched)
+        for (didx, frames, _), (res_f, ptc_b, lnc_b) in zip(take, got):
+            rs = [None] * len(self.vos)
+            for k, i in enumerate(didx):
+                vo = self.vos[i]
+                if vo.stage != STAGE_DEFAULT:
+                    continue  # successors of a failed frame are poisoned
+                r = self._finish_one(vo, k, frames[k], res_f, ptc_b, lnc_b)
+                vo.results.append(r)
+                rs[i] = r
+            self._bready.append(rs)
+        if newest is not None:
+            # _post_fused pointed last_frame at each finalized frame; the
+            # newest dispatched frame stays the alignment reference
+            didx, frames, _ = newest
+            for k, i in enumerate(didx):
+                if self.vos[i].stage == STAGE_DEFAULT:
+                    self.vos[i].last_frame = frames[k]
+
+    def flush(self):
+        """Drain all in-flight pipelined frames (call at sequence end).
+        Returns the remaining per-call result lists in order."""
+        if self._bq:
+            self._drain_batched(keep=0)
+        out = self._bready
+        self._bready = []
+        return out
 
     def _install_seed_hooks(self, vo: FrameHandlerMono, k: int):
         def get():

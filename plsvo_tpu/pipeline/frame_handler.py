@@ -108,8 +108,17 @@ class FrameHandlerMono:
         # step updates seeds at capacity); identity mapping by default
         self._pt_rows = np.arange(caps.max_seeds)
         self._ln_rows = np.arange(caps.max_seed_segs)
-        # pipelined-mode in-flight frame: (FrameState, FullStepResult)
-        self._pipe = None
+        # pipelined-mode in-flight frames [(FrameState, FullStepResult)]
+        # + finished results awaiting delivery + deferred KF seed inits
+        self._pipe_q: List = []
+        self._ready: List[FrameResult] = []
+        self._pending_seed_init: List = []
+        # BatchedVO control: _force_sync routes stray per-seq frames through
+        # the synchronous path; _defer_seed_init makes keyframe seed
+        # detection fetch-deferred even then (the batch runner folds the
+        # fetch into its own burst)
+        self._force_sync = False
+        self._defer_seed_init = False
         # trace plane (reference permon channels, frame_handler_base.cpp:58-86)
         self.permon = PerformanceMonitor()
 
@@ -396,8 +405,21 @@ class FrameHandlerMono:
         return fused.last_blob_specs(caps.max_fts, caps.max_segs,
                                      caps.max_points, caps.max_lines)
 
+    @staticmethod
+    def _live_width(alive: np.ndarray, cap: int, floor: int):
+        """Power-of-2 prefix width covering all alive rows (free slots are
+        allocated lowest-first so alive rows cluster at the front); None
+        when the full capacity is needed (avoids a duplicate jit variant)."""
+        idx = np.where(alive)[0]
+        hi = int(idx[-1]) + 1 if len(idx) else 0
+        w = floor
+        while w < hi:
+            w *= 2
+        return None if w >= cap else w
+
     def _step_kwargs(self):
         pl = self.cfg.pipeline
+        caps = self.cfg.caps
         return dict(
             specs=self._blob_specs(),
             update_pt_seeds=bool(self._seed_alive.any()),
@@ -406,6 +428,9 @@ class FrameHandlerMono:
             max_seed_kfs=pl.max_seed_kfs,
             sigma_conv_factor=pl.seed_convergence_sigma2_thresh,
             n_pyr_seed=pl.n_pyr_levels,
+            pt_width=self._live_width(self._seed_alive, caps.max_seeds, 128),
+            ln_width=self._live_width(self._lnseed_alive,
+                                      caps.max_seed_segs, 64),
             **self._fused_kwargs())
 
     def _step_inputs(self, pyr):
@@ -419,7 +444,7 @@ class FrameHandlerMono:
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy)
 
     def _process_frame(self, pyr, ts) -> FrameResult:
-        if self.cfg.pipeline.pipelined:
+        if self.cfg.pipeline.pipelined and not self._force_sync:
             return self._process_frame_pipelined(pyr, ts)
         last = self.last_frame
         frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
@@ -445,9 +470,11 @@ class FrameHandlerMono:
 
     # -- pipelined mode ------------------------------------------------
     def _process_frame_pipelined(self, pyr, ts) -> Optional[FrameResult]:
-        """Dispatch frame i BEFORE fetching frame i-1 (hides the sync;
-        host bookkeeping overlaps device compute). Returns frame i-1's
-        result, or None on the first pipelined frame."""
+        """Dispatch frame i BEFORE fetching earlier frames' results: the
+        device is never idle, the ~28 ms/fetch wire latency is amortized
+        over pipeline_depth frames, and host bookkeeping overlaps device
+        compute. Returns finished results with up to pipeline_depth frames
+        of delay (None while the pipeline fills)."""
         frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
                                  self.last_frame.R_f_w.copy(),
                                  self.last_frame.t_f_w.copy())
@@ -456,8 +483,8 @@ class FrameHandlerMono:
         common = (self.map.kf_pyr[: pl.n_pyr_levels],)
         fid = jnp.asarray(self.frame_id, jnp.int32)
         with self.permon.timer("sparse_img_align"):
-            if self._pipe is None:
-                # pipeline start: host tables of the last (bootstrap) frame
+            if not self._pipe_q:
+                # pipeline start: host tables of the last finalized frame
                 step = fused.track_frame_step(
                     self.last_frame.pyr, pyr, *common,
                     self._last_blob(self.last_frame), self._map_tables(),
@@ -466,7 +493,7 @@ class FrameHandlerMono:
                     self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                     emit_next=True, frame_id=fid, **kwargs)
             else:
-                prev_frame, prev_step = self._pipe
+                prev_frame, prev_step = self._pipe_q[-1]
                 kw_t = {k: v for k, v in kwargs.items() if k != "specs"}
                 step = fused.track_frame_step_tables(
                     prev_frame.pyr, pyr, *common,
@@ -477,35 +504,53 @@ class FrameHandlerMono:
                     frame_id=fid, **kw_t)
         self.pt_seeds = step.pt_seeds
         self.ln_seeds = step.ln_seeds
-
-        out = None
-        if self._pipe is not None:
-            out = self._finish_pipelined()
-        if self.stage == STAGE_RELOCALIZING:
-            # frame i-1 failed: frame i consumed poisoned inputs — drop it
-            # and let relocalization restart from the map
-            return out
-        self._pipe = (frame, step)
+        self._pipe_q.append((frame, step))
         self.last_frame = frame
-        return out
 
-    def _finish_pipelined(self) -> FrameResult:
-        """Fetch + bookkeep the in-flight frame (its device compute has
-        been overlapping our caller's work since the previous add_image)."""
-        frame, step = self._pipe
-        self._pipe = None
+        depth = max(1, pl.pipeline_depth)
+        if len(self._pipe_q) > depth:
+            # burst-fetch all but the newest in-flight frame (ONE sync)
+            self._drain_pipeline(keep=1)
+        return self._ready.pop(0) if self._ready else None
+
+    def _drain_pipeline(self, keep: int):
+        """Fetch + bookkeep the oldest in-flight frames, keeping `keep`
+        still in flight. One device_get for the whole burst — including
+        any keyframe seed-detection results deferred from the last burst."""
+        n = len(self._pipe_q) - keep
+        if n <= 0:
+            return
+        take = [self._pipe_q.pop(0) for _ in range(n)]
+        newest_frame = self.last_frame
+        pending_init = self._pending_seed_init
+        self._pending_seed_init = []
         with self.permon.timer("reproject"):
-            res, pt_conv, ln_conv = jax.device_get(
-                (step.fused, step.pt_conv, step.ln_conv))
-        got = tuple(g for g in (pt_conv, ln_conv) if g is not None)
-        self._apply_harvest(got, pt_conv is not None, ln_conv is not None)
-        return self._post_fused(frame, res)
+            got, init_got = jax.device_get((
+                [(s.fused, s.pt_conv, s.ln_conv) for _, s in take],
+                [h for (_, _, _, h) in pending_init]))
+        for (kf_slot, dm, dmin, _), fetched in zip(pending_init, init_got):
+            self._complete_seed_init(kf_slot, dm, dmin, *fetched)
+        for (frame, _), (res, pt_c, ln_c) in zip(take, got):
+            if self.stage == STAGE_RELOCALIZING:
+                break  # successors of a failed frame are poisoned: drop
+            g = tuple(x for x in (pt_c, ln_c) if x is not None)
+            self._apply_harvest(g, pt_c is not None, ln_c is not None)
+            self._ready.append(self._post_fused(frame, res))
+        if self.stage == STAGE_RELOCALIZING:
+            self._pipe_q.clear()
+        else:
+            # _post_fused points last_frame at each finalized frame; the
+            # newest dispatched frame stays the alignment reference
+            self.last_frame = newest_frame
 
-    def flush(self) -> Optional[FrameResult]:
-        """Drain the pipelined in-flight frame (call at sequence end)."""
-        if self.cfg.pipeline.pipelined and self._pipe is not None:
-            return self._finish_pipelined()
-        return None
+    def flush(self):
+        """Drain all in-flight pipelined frames (call at sequence end).
+        Returns the remaining FrameResults in order."""
+        if self.cfg.pipeline.pipelined and self._pipe_q:
+            self._drain_pipeline(keep=0)
+        out = self._ready
+        self._ready = []
+        return out
 
     def _post_fused(self, frame: FrameState, res) -> FrameResult:
         """Host bookkeeping after the fused core (counters, deletion rules,
@@ -690,7 +735,19 @@ class FrameHandlerMono:
             m.add_keyframe(frame)
         self.batch_counter += 1
         with self.permon.timer("kf_init_seeds"):
-            self._init_seeds(frame, d_mean, max(d_min * 0.1, 1e-3))
+            defer = (self._defer_seed_init
+                     or (self.cfg.pipeline.pipelined
+                         and not self._force_sync))
+            if defer and d_mean is not None:
+                # defer the detection fetch into the next burst (async
+                # seed spawning, like the reference's mapping thread)
+                kf_slot = int(np.where(
+                    self.map.kf_frame_id == frame.frame_id)[0][0])
+                self._pending_seed_init.append(
+                    (kf_slot, d_mean, max(d_min * 0.1, 1e-3),
+                     self._dispatch_seed_detection(frame)))
+            else:
+                self._init_seeds(frame, d_mean, max(d_min * 0.1, 1e-3))
 
     # ------------------------------------------------------------------
     # seed-table access points: BatchedVO overrides these so the tables can
@@ -703,14 +760,14 @@ class FrameHandlerMono:
         self.pt_seeds = pt_seeds
         self.ln_seeds = ln_seeds
 
-    def _init_seeds(self, frame: FrameState, d_mean, d_min):
-        """Spawn seeds in grid cells not already holding a feature
-        (reference: DepthFilter::initializeSeeds, depth_filter.cpp:151-197)."""
-        if d_mean is None:
-            return
+    def _dispatch_seed_detection(self, frame: FrameState):
+        """Device handles for new-seed detection in a keyframe: FAST grid +
+        line segments + cell occupancy of the frame's existing features.
+        Dispatch-only; the fetch can be deferred (pipelined mode folds it
+        into the next burst — the reference's mapping thread initializes
+        seeds asynchronously too, depth_filter.cpp:256-258)."""
         pl = self.cfg.pipeline
         caps = self.cfg.caps
-        kf_slot = int(np.where(self.map.kf_frame_id == frame.frame_id)[0][0])
         # FIXED-capacity occupancy input: a raw len(valid) array changes
         # shape every keyframe and forced a fresh XLA compile per KF
         # (~0.5 s each over the remote-compile tunnel)
@@ -726,10 +783,24 @@ class FrameHandlerMono:
         occupied = detection.occupancy_from_positions(
             jnp.asarray(occ_uv), jnp.asarray(occ_ok),
             self.cam.width, self.cam.height, pl.grid_size)
+        grid_dev, segs_dev = self._detect_features(frame.pyr)
+        return (grid_dev, segs_dev, occupied)
+
+    def _init_seeds(self, frame: FrameState, d_mean, d_min):
+        """Spawn seeds in grid cells not already holding a feature
+        (reference: DepthFilter::initializeSeeds, depth_filter.cpp:151-197)."""
+        if d_mean is None:
+            return
+        kf_slot = int(np.where(self.map.kf_frame_id == frame.frame_id)[0][0])
         with self.permon.timer("kf_detect"):
-            grid_dev, segs_dev = self._detect_features(frame.pyr)
             grid, segs, occupied = jax.device_get(
-                (grid_dev, segs_dev, occupied))
+                self._dispatch_seed_detection(frame))
+        self._complete_seed_init(kf_slot, d_mean, d_min, grid, segs, occupied)
+
+    def _complete_seed_init(self, kf_slot, d_mean, d_min, grid, segs,
+                            occupied):
+        """Host half of seed initialization: free-slot assignment + device
+        scatter, from fetched detection results."""
         valid = grid.valid & ~occupied
         uv = grid.uv[valid]
         lvl = grid.level[valid]
@@ -1000,4 +1071,6 @@ class FrameHandlerMono:
         self._seed_alive[:] = False
         self._lnseed_alive[:] = False
         self._any_line_seeds = False
-        self._pipe = None
+        self._pipe_q = []
+        self._ready = []
+        self._pending_seed_init = []

@@ -368,7 +368,7 @@ def build_next_inputs(res: FusedResult, mt: MapTables,
 
 @partial(jax.jit, static_argnames=(
     "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "sigma_conv_factor", "n_pyr_seed", "emit_next",
+    "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
     "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
@@ -389,6 +389,8 @@ def track_frame_step(
     n_pyr_seed: int,
     emit_next: bool = False,
     frame_id=None,  # () int32, required when emit_next
+    pt_width=None,  # static: live-prefix width of the point-seed table
+    ln_width=None,  # static: live-prefix width of the line-seed table
     **kw,
 ) -> FullStepResult:
     """The COMPLETE tracked-frame device program: align -> reproject ->
@@ -412,12 +414,13 @@ def track_frame_step(
         batch_counter, fx, fy, cx, cy,
         update_pt_seeds=update_pt_seeds, update_ln_seeds=update_ln_seeds,
         max_seed_kfs=max_seed_kfs, sigma_conv_factor=sigma_conv_factor,
-        n_pyr_seed=n_pyr_seed, emit_next=emit_next, frame_id=frame_id, **kw)
+        n_pyr_seed=n_pyr_seed, emit_next=emit_next, frame_id=frame_id,
+        pt_width=pt_width, ln_width=ln_width, **kw)
 
 
 @partial(jax.jit, static_argnames=(
     "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "sigma_conv_factor", "n_pyr_seed", "emit_next",
+    "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
     "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
@@ -459,6 +462,8 @@ def _track_frame_step_impl(
     n_pyr_seed: int,
     emit_next: bool,
     frame_id,
+    pt_width=None,
+    ln_width=None,
     **kw,
 ) -> FullStepResult:
     from plsvo_tpu.ops import depth_filter as df
@@ -476,22 +481,45 @@ def _track_frame_step_impl(
     skw = dict(max_seed_kfs=max_seed_kfs,
                sigma_conv_factor=sigma_conv_factor)
 
+    # seed tables are processed only up to the live prefix (free slots are
+    # allocated lowest-first, so alive rows cluster at the front; the host
+    # picks pt_width/ln_width from its alive mirror) — the epipolar search
+    # cost scales with the processed width, not the capacity. Outputs are
+    # padded back to capacity so the host path is width-agnostic.
     pt_conv = None
     if update_pt_seeds:
+        W = pt_width or pt_seeds.mu.shape[0]
+        sub = jax.tree.map(lambda a: a[:W], pt_seeds)
         pres = df.update_point_seeds(
-            pt_seeds, R_w_kf, t_w_kf, *seed_pyrs, R_w_cur, t_w_cur,
+            sub, R_w_kf, t_w_kf, *seed_pyrs, R_w_cur, t_w_cur,
             fx, fy, cx, cy, batch_counter, **skw)
-        pt_seeds = pres.seeds
-        pt_conv = (pres.converged, pres.depth_converged, pres.seeds.alive)
+        tail_alive = pt_seeds.alive[W:]
+        pt_seeds = jax.tree.map(
+            lambda new, old: jnp.concatenate([new, old[W:]]),
+            pres.seeds, pt_seeds)
+        pad = pt_seeds.mu.shape[0] - W
+        pt_conv = (
+            jnp.concatenate([pres.converged, jnp.zeros(pad, bool)]),
+            jnp.concatenate([pres.depth_converged, jnp.zeros(pad)]),
+            jnp.concatenate([pres.seeds.alive, tail_alive]))
 
     ln_conv = None
     if update_ln_seeds:
+        W = ln_width or ln_seeds.mu_s.shape[0]
+        sub = jax.tree.map(lambda a: a[:W], ln_seeds)
         lres = df.update_line_seeds(
-            ln_seeds, R_w_kf, t_w_kf, *seed_pyrs, R_w_cur, t_w_cur,
+            sub, R_w_kf, t_w_kf, *seed_pyrs, R_w_cur, t_w_cur,
             fx, fy, cx, cy, batch_counter, **skw)
-        ln_seeds = lres.seeds
-        ln_conv = (lres.converged, lres.depth_s, lres.depth_e,
-                   lres.seeds.alive)
+        tail_alive = ln_seeds.alive[W:]
+        ln_seeds = jax.tree.map(
+            lambda new, old: jnp.concatenate([new, old[W:]]),
+            lres.seeds, ln_seeds)
+        pad = ln_seeds.mu_s.shape[0] - W
+        ln_conv = (
+            jnp.concatenate([lres.converged, jnp.zeros(pad, bool)]),
+            jnp.concatenate([lres.depth_s, jnp.zeros(pad)]),
+            jnp.concatenate([lres.depth_e, jnp.zeros(pad)]),
+            jnp.concatenate([lres.seeds.alive, tail_alive]))
 
     nxt = None
     if emit_next:
@@ -505,7 +533,7 @@ def _track_frame_step_impl(
 @partial(jax.jit, static_argnames=(
     "mesh", "mesh_axis",
     "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "sigma_conv_factor", "n_pyr_seed",
+    "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
     "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
@@ -519,6 +547,7 @@ def track_frame_step_list(
     *,
     mesh=None,
     mesh_axis: str = "seq",
+    frame_ids=None,  # tuple of per-seq () int32, required when emit_next
     **kw,
 ) -> FullStepResult:
     """Batched multi-sequence frame step. The per-sequence inputs arrive as
@@ -530,7 +559,28 @@ def track_frame_step_list(
     whole vmapped step across devices (pure data parallelism over
     sequences — BASELINE.json config 4)."""
     stacked = jax.tree.map(lambda *a: jnp.stack(a), *per_seq_inputs)
+    shard = _make_shard(mesh, mesh_axis)
+    last_pyr, cur_pyr, kf_pyr, blob, mt, batch_counter = shard(stacked)
+    pt_seeds_stacked = shard(pt_seeds_stacked)
+    ln_seeds_stacked = shard(ln_seeds_stacked)
+    # frame_id is a traced operand only read when emit_next; batch_counter
+    # stands in as a dummy when the caller doesn't chain
+    fids = (batch_counter if frame_ids is None
+            else shard(jnp.stack([jnp.asarray(f, jnp.int32)
+                                  for f in frame_ids])))
 
+    def step(last_pyr, cur_pyr, kf_pyr, blob, mt, pt_seeds, ln_seeds, bc,
+             fid):
+        return track_frame_step(
+            last_pyr, cur_pyr, kf_pyr, blob, mt, pt_seeds, ln_seeds, bc,
+            fx, fy, cx, cy, frame_id=fid, **kw)
+
+    return jax.vmap(step)(last_pyr, cur_pyr, kf_pyr, blob, mt,
+                          pt_seeds_stacked, ln_seeds_stacked, batch_counter,
+                          fids)
+
+
+def _make_shard(mesh, mesh_axis):
     def shard(tree):
         if mesh is None:
             return tree
@@ -538,18 +588,49 @@ def track_frame_step_list(
             mesh, jax.sharding.PartitionSpec(mesh_axis))
         return jax.tree.map(
             lambda a: jax.lax.with_sharding_constraint(a, sh), tree)
+    return shard
 
-    last_pyr, cur_pyr, kf_pyr, blob, mt, batch_counter = shard(stacked)
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "mesh_axis",
+    "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
+    "sigma_conv_factor", "n_pyr_seed", "pt_width", "ln_width",
+    "levels", "n_iter_align", "patch_align", "cell_size",
+    "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
+    "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "n_struct_segs", "struct_iters"))
+def track_frame_step_tables_list(
+    per_seq_inputs,  # tuple over sequences of (last_pyr, cur_pyr, kf_pyr,
+    #                  mt, batch_counter, frame_id) — stacked INSIDE jit
+    nxt_stacked,  # NextFrameInputs with leading batch axis (device-resident,
+    #               emitted by the previous batched step)
+    pt_seeds_stacked,
+    ln_seeds_stacked,
+    fx, fy, cx, cy,
+    *,
+    mesh=None,
+    mesh_axis: str = "seq",
+    **kw,
+) -> FullStepResult:
+    """Pipelined batched step: align inputs chain from the previous batched
+    step's device-resident NextFrameInputs — no host blobs, no fetch before
+    dispatch (the batched analogue of track_frame_step_tables)."""
+    stacked = jax.tree.map(lambda *a: jnp.stack(a), *per_seq_inputs)
+    shard = _make_shard(mesh, mesh_axis)
+    last_pyr, cur_pyr, kf_pyr, mt, batch_counter, frame_id = shard(stacked)
+    nxt_stacked = shard(nxt_stacked)
     pt_seeds_stacked = shard(pt_seeds_stacked)
     ln_seeds_stacked = shard(ln_seeds_stacked)
 
-    def step(last_pyr, cur_pyr, kf_pyr, blob, mt, pt_seeds, ln_seeds, bc):
-        return track_frame_step(
-            last_pyr, cur_pyr, kf_pyr, blob, mt, pt_seeds, ln_seeds, bc,
-            fx, fy, cx, cy, **kw)
+    def step(last_pyr, cur_pyr, kf_pyr, nxt, mt, pt_seeds, ln_seeds, bc,
+             fid):
+        return track_frame_step_tables(
+            last_pyr, cur_pyr, kf_pyr, nxt, mt, pt_seeds, ln_seeds, bc,
+            fx, fy, cx, cy, frame_id=fid, **kw)
 
-    return jax.vmap(step)(last_pyr, cur_pyr, kf_pyr, blob, mt,
-                          pt_seeds_stacked, ln_seeds_stacked, batch_counter)
+    return jax.vmap(step)(last_pyr, cur_pyr, kf_pyr, nxt_stacked, mt,
+                          pt_seeds_stacked, ln_seeds_stacked, batch_counter,
+                          frame_id)
 
 
 @partial(jax.jit, static_argnames=(

@@ -195,24 +195,21 @@ def test_pipeline_pipelined_mode_matches(sequence):
 
     scene, poses, imgs = sequence
     cfg = fast_config()
-    cfg_p = dataclasses.replace(
-        cfg, pipeline=dataclasses.replace(cfg.pipeline, pipelined=True))
-
     vo_s, res_s = run_pipeline(imgs, cfg)
-    vo_p = FrameHandlerMono(CAM, cfg_p)
-    res_p = []
-    for i, img in enumerate(imgs):
-        r = vo_p.add_image(img, i / 30.0)
-        if r is not None:
-            res_p.append(r)
-    tail = vo_p.flush()
-    if tail is not None:
-        res_p.append(tail)
 
-    # same frames tracked (one-frame-late delivery, same count)
-    ids_s = [r.frame_id for r in res_s if r.stage == STAGE_DEFAULT]
-    ids_p = [r.frame_id for r in res_p if r.stage == STAGE_DEFAULT]
-    assert ids_p == ids_s
+    def run_pipelined(depth):
+        cfg_p = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(
+                cfg.pipeline, pipelined=True, pipeline_depth=depth))
+        vo_p = FrameHandlerMono(CAM, cfg_p)
+        res_p = []
+        for i, img in enumerate(imgs):
+            r = vo_p.add_image(img, i / 30.0)
+            if r is not None:
+                res_p.append(r)
+        res_p.extend(vo_p.flush())
+        return res_p
+
     # poses agree against GT: both modes within the same ATE regime
     def ate(results):
         est = {r.frame_id: (r.R_f_w, r.t_f_w) for r in results
@@ -234,8 +231,14 @@ def test_pipeline_pipelined_mode_matches(sequence):
             errs.append(abs(d_est - d_gt))
         return float(np.median(errs))
 
-    e_s, e_p = ate(res_s), ate(res_p)
-    assert e_p < max(2.5 * e_s, 0.004), (e_p, e_s)
+    e_s = ate(res_s)
+    ids_s = [r.frame_id for r in res_s if r.stage == STAGE_DEFAULT]
+    for depth in (1, 4):
+        res_p = run_pipelined(depth)
+        ids_p = [r.frame_id for r in res_p if r.stage == STAGE_DEFAULT]
+        assert ids_p == ids_s, (depth, ids_p, ids_s)
+        e_p = ate(res_p)
+        assert e_p < max(2.5 * e_s, 0.004), (depth, e_p, e_s)
 
 
 def test_pipeline_local_ba_improves_or_keeps_map(sequence):
