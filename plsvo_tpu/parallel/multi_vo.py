@@ -38,24 +38,42 @@ from plsvo_tpu.pipeline.state import FrameState
 
 
 class BatchedVO:
-    """Drives B sequences; DEFAULT-stage frames execute as one vmapped
-    dispatch (optionally sharded over a mesh by the caller's jit config)."""
+    """Drives B sequences on one or many chips. Two execution modes:
+
+    - "streams" (default on a single device): B independent pipelined
+      frame-handler instances whose dispatches interleave on the device
+      queue. Measured on v5e: the fused frame step vmapped over B=8 costs
+      ~620 ms of device time vs ~8x40 ms for 8 separate dispatches — vmap
+      pessimizes the gather/while_loop-heavy VO core (batched gathers lose
+      the contiguous-4-vector fast path; early-exit GN loops run the union
+      of iteration counts). Independent streams keep each program in its
+      fast single-sequence form and amortize host syncs across streams.
+    - "vmap": ONE vmapped device program per frame over the whole batch,
+      shard-constrained over a `mesh` — the multi-chip data-parallel path
+      (BASELINE.json config 4): per chip the batch shard is small and the
+      collective-free program scales linearly over ICI.
+    """
 
     def __init__(self, cam: PinholeCamera, cfg: Config, n_sequences: int,
-                 mesh: Optional[jax.sharding.Mesh] = None, axis: str = "seq"):
+                 mesh: Optional[jax.sharding.Mesh] = None, axis: str = "seq",
+                 mode: str = "auto"):
         self.vos = [FrameHandlerMono(cam, cfg) for _ in range(n_sequences)]
         self.cam = cam
         self.cfg = cfg
         self.mesh = mesh
         self.axis = axis
+        if mode == "auto":
+            mode = "vmap" if mesh is not None else "streams"
+        self.mode = mode
         self.pipelined = bool(cfg.pipeline.pipelined)
         self.depth = max(1, cfg.pipeline.pipeline_depth)
         for vo in self.vos:
-            # a vo that falls out of the batch (bootstrap/relocalization)
-            # runs its per-seq frames synchronously; in pipelined mode its
-            # keyframe seed detection still defers into OUR burst fetch
-            vo._force_sync = True
-            vo._defer_seed_init = self.pipelined
+            # vmap mode: a vo that falls out of the batch (bootstrap/
+            # relocalization) runs its per-seq frames synchronously; in
+            # pipelined mode its keyframe seed detection still defers into
+            # OUR burst fetch. streams mode: each vo manages itself.
+            vo._force_sync = self.mode != "streams"
+            vo._defer_seed_init = self.pipelined and self.mode != "streams"
         # stacked device-resident seed tables for the current batch members
         self._seeds_idx: Optional[tuple] = None
         self._pt_stack = None
@@ -135,6 +153,12 @@ class BatchedVO:
 
     def add_images(self, imgs: Sequence, timestamp: float):
         """One frame for every sequence. imgs: list/array of B images."""
+        if self.mode == "streams":
+            # B self-contained pipelines; their dispatches interleave on
+            # the device queue, and each stream burst-fetches on its own
+            # cadence (pipelined cfg) — host syncs amortize across streams
+            return [vo.add_image(imgs[i], timestamp)
+                    for i, vo in enumerate(self.vos)]
         if self.pipelined:
             return self._add_images_pipelined(imgs, timestamp)
         results = [None] * len(self.vos)
@@ -339,6 +363,11 @@ class BatchedVO:
     def flush(self):
         """Drain all in-flight pipelined frames (call at sequence end).
         Returns the remaining per-call result lists in order."""
+        if self.mode == "streams":
+            tails = [vo.flush() for vo in self.vos]
+            depth = max((len(t) for t in tails), default=0)
+            return [[t[d] if d < len(t) else None for t in tails]
+                    for d in range(depth)]
         if self._bq:
             self._drain_batched(keep=0)
         out = self._bready

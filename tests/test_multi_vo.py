@@ -38,7 +38,7 @@ def test_batched_vo_matches_individual(rng):
         for b in range(2):
             solo_results[b].append(solo[b].add_image(seqs[b][i], i / 30.0))
 
-    bvo = BatchedVO(CAM, fast_config(), 2)
+    bvo = BatchedVO(CAM, fast_config(), 2, mode="vmap")
     batch_results = [[], []]
     for i in range(n_frames):
         rs = bvo.add_images([seqs[0][i], seqs[1][i]], i / 30.0)
@@ -64,7 +64,7 @@ def test_batched_vo_pipelined_matches_sync(rng):
     n_frames = len(seqs[0])
     cfg = fast_config()
 
-    bvo_s = BatchedVO(CAM, cfg, 2)
+    bvo_s = BatchedVO(CAM, cfg, 2, mode="vmap")
     sync_res = [[], []]
     for i in range(n_frames):
         rs = bvo_s.add_images([seqs[0][i], seqs[1][i]], i / 30.0)
@@ -75,7 +75,7 @@ def test_batched_vo_pipelined_matches_sync(rng):
     cfg_p = dataclasses.replace(
         cfg, pipeline=dataclasses.replace(
             cfg.pipeline, pipelined=True, pipeline_depth=3))
-    bvo_p = BatchedVO(CAM, cfg_p, 2)
+    bvo_p = BatchedVO(CAM, cfg_p, 2, mode="vmap")
     pipe_res = [[], []]
     for i in range(n_frames):
         rs = bvo_p.add_images([seqs[0][i], seqs[1][i]], i / 30.0)
@@ -96,6 +96,44 @@ def test_batched_vo_pipelined_matches_sync(rng):
         rf_s = sync_res[b][-1]
         rf_p = [r for r in pipe_res[b] if r.frame_id == rf_s.frame_id][0]
         np.testing.assert_allclose(rf_p.t_f_w, rf_s.t_f_w, atol=5e-3)
+
+
+def test_batched_vo_streams_mode(rng):
+    """streams mode = B independent pipelined handlers (the single-chip
+    serving path): every frame of every stream is delivered exactly once,
+    and poses match the individual handlers."""
+    import dataclasses
+
+    seqs = make_sequences(rng, B=2, n_frames=16)
+    cfg = fast_config()
+    solo = [FrameHandlerMono(CAM, cfg) for _ in range(2)]
+    for i in range(len(seqs[0])):
+        for b in range(2):
+            solo[b].add_image(seqs[b][i], i / 30.0)
+
+    cfg_p = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, pipelined=True, pipeline_depth=3))
+    bvo = BatchedVO(CAM, cfg_p, 2)  # no mesh -> streams
+    assert bvo.mode == "streams"
+    got = [[], []]
+    for i in range(len(seqs[0])):
+        rs = bvo.add_images([seqs[0][i], seqs[1][i]], i / 30.0)
+        for b in range(2):
+            if rs[b] is not None:
+                got[b].append(rs[b])
+    for rs in bvo.flush():
+        for b in range(2):
+            if rs[b] is not None:
+                got[b].append(rs[b])
+    for b in range(2):
+        ids_solo = [r.frame_id for r in solo[b].results
+                    if r.stage == STAGE_DEFAULT]
+        ids_got = [r.frame_id for r in got[b] if r.stage == STAGE_DEFAULT]
+        assert ids_got == ids_solo
+        rl_s = solo[b].results[-1]
+        rl_g = [r for r in got[b] if r.frame_id == rl_s.frame_id][0]
+        np.testing.assert_allclose(rl_g.t_f_w, rl_s.t_f_w, atol=5e-3)
 
 
 def test_batched_vo_sharded_over_mesh(rng):
