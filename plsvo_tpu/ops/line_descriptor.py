@@ -11,12 +11,14 @@ component parity and for wide-baseline line matching.
 Design (batched, fixed shapes):
 - each segment is sampled at S points along its direction and, per sample,
   at B bands across the line normal (band offsets -W..W px)
-- per band: mean and std of the image gradient projected onto the line
-  direction d and normal n -> 4 stats x B bands = float descriptor
-  (the LBD construction of Zhang & Koch 2013, as used by the vendored
-  module)
-- float descriptors are L2-normalized; a 256-bit binary code is formed by
-  comparing random descriptor pairs (LBD's binarization strategy)
+- per band: mean and std of the four SIGNED gradient responses
+  (g_n>0, g_n<0, g_d>0, g_d<0 where d = line direction, n = normal) ->
+  8 stats x B bands = float descriptor — the LBD construction of
+  Zhang & Koch 2013, as used by the vendored module
+- the mean and std sub-vectors are L2-normalized SEPARATELY, clipped at
+  0.4 and renormalized (the paper's illumination-robust normalization);
+  a 256-bit binary code is formed by comparing random descriptor pairs
+  (LBD's binarization strategy)
 - matching: full pairwise Hamming (XLA einsum on bit-planes) + mutual
   nearest-neighbor + ratio test — the multi-index hashing of the reference
   is an approximation of exactly this search, unnecessary at VO scales
@@ -30,6 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from plsvo_tpu.image import bilinear_sample
+
+f32_inv_sqrt2 = 0.7071067811865476  # overall descriptor stays unit-norm
 
 
 class LineDescriptors(NamedTuple):
@@ -74,18 +78,28 @@ def compute_lbd(
     # project gradients onto (d, n)
     g_d = gx * d[:, None, None, 0] + gy * d[:, None, None, 1]  # (N,S,B*W)
     g_n = gx * n[:, None, None, 0] + gy * n[:, None, None, 1]
-    g_d = g_d.reshape(N, n_samples, n_bands, band_width)
-    g_n = g_n.reshape(N, n_samples, n_bands, band_width)
+    # the LBD statistics are over the four SIGNED responses — keeping the
+    # positive and negative lobes separate is what makes the descriptor
+    # discriminative (a band with strong bidirectional texture and a flat
+    # band share mean(g)=0 but not mean(g+)/mean(g-))
+    parts = (jnp.maximum(g_n, 0.0), jnp.maximum(-g_n, 0.0),
+             jnp.maximum(g_d, 0.0), jnp.maximum(-g_d, 0.0))
+    means, stds = [], []
+    for g in parts:
+        gr = g.reshape(N, n_samples, n_bands, band_width)
+        means.append(jnp.mean(gr, axis=(1, 3)))  # (N, n_bands)
+        stds.append(jnp.std(gr, axis=(1, 3)))
 
-    def band_stats(g):
-        m = jnp.mean(g, axis=(1, 3))  # (N, n_bands)
-        s = jnp.std(g, axis=(1, 3))
-        return m, s
+    def norm_clip(x, clip=0.4):
+        # Zhang & Koch: normalize mean/std sub-vectors independently, clip
+        # dominant dimensions, renormalize
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+        x = jnp.minimum(x, clip)
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
 
-    md, sd = band_stats(g_d)
-    mn, sn = band_stats(g_n)
-    desc = jnp.concatenate([md, sd, mn, sn], axis=-1)  # (N, 4*n_bands)
-    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+    mean_part = norm_clip(jnp.concatenate(means, axis=-1))  # (N, 4*n_bands)
+    std_part = norm_clip(jnp.concatenate(stds, axis=-1))
+    desc = jnp.concatenate([mean_part, std_part], axis=-1) * f32_inv_sqrt2
 
     # binarization: fixed random pair comparisons (deterministic seed)
     D = desc.shape[-1]

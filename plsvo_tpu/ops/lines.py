@@ -177,15 +177,42 @@ def detect_segments(
         & jnp.isfinite(t_end) & jnp.isfinite(t_start) \
         & (t_end - t_start > 1.0)
 
-    cc = c[:, 0]
-    ss = s[:, 0]
-    lim = jnp.asarray([W - 1.0, H - 1.0], f32)
+    # ---- sub-bin refinement: weighted least-squares line refit over the
+    # winning run's inlier pixels (the Hough peak quantizes rho to rho_res
+    # and theta to pi/n_theta; the refit recovers the exact line through
+    # the supporting edgels — gradient-magnitude weighted total least
+    # squares via the 2x2 scatter matrix's principal axis) ----
     t_start = jnp.where(run_ok, t_start, 0.0)
     t_end = jnp.where(run_ok, t_end, 0.0)
+    run_m = inlier & (t >= t_start[:, None] - 0.5) \
+        & (t <= t_end[:, None] + 0.5)  # (P,E)
+    wgt = jnp.where(run_m, vote[None], 0.0)
+    wsum = jnp.maximum(jnp.sum(wgt, axis=1), 1e-12)
+    mx = jnp.sum(wgt * ex[None], axis=1) / wsum  # (P,)
+    my = jnp.sum(wgt * ey[None], axis=1) / wsum
+    dxc = ex[None] - mx[:, None]
+    dyc = ey[None] - my[:, None]
+    sxx = jnp.sum(wgt * dxc * dxc, axis=1)
+    sxy = jnp.sum(wgt * dxc * dyc, axis=1)
+    syy = jnp.sum(wgt * dyc * dyc, axis=1)
+    # principal direction of the 2x2 scatter matrix (closed form)
+    half_ang = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)
+    dirx, diry = jnp.cos(half_ang), jnp.sin(half_ang)
+    # guard: fall back to the Hough direction when the refit is degenerate
+    # (few/collapsed inliers)
+    degenerate = (sxx + syy) < 1e-6
+    dirx = jnp.where(degenerate, -s[:, 0], dirx)
+    diry = jnp.where(degenerate, c[:, 0], diry)
+    tproj = dxc * dirx[:, None] + dyc * diry[:, None]  # (P,E)
+    tmin = jnp.min(jnp.where(run_m, tproj, jnp.inf), axis=1)
+    tmax = jnp.max(jnp.where(run_m, tproj, -jnp.inf), axis=1)
+    tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
+    tmax = jnp.where(jnp.isfinite(tmax), tmax, 0.0)
+    lim = jnp.asarray([W - 1.0, H - 1.0], f32)
     sp = jnp.clip(jnp.stack(
-        [p_rho * cc - t_start * ss, p_rho * ss + t_start * cc], -1), 0.0, lim)
+        [mx + tmin * dirx, my + tmin * diry], -1), 0.0, lim)
     ep = jnp.clip(jnp.stack(
-        [p_rho * cc - t_end * ss, p_rho * ss + t_end * cc], -1), 0.0, lim)
+        [mx + tmax * dirx, my + tmax * diry], -1), 0.0, lim)
     seg_len = jnp.linalg.norm(ep - sp, axis=-1)
     resp = cnt.astype(f32) * run_ok
     line_angle = jnp.arctan2(ep[:, 1] - sp[:, 1], ep[:, 0] - sp[:, 0])

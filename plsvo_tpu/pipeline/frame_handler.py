@@ -221,10 +221,14 @@ class FrameHandlerMono:
         if segs is not None:
             sv = np.asarray(segs.valid)
             sp, ep = np.asarray(segs.sp)[sv], np.asarray(segs.ep)[sv]
-            mid = 0.5 * (sp + ep)
-            # each segment contributes start/mid/end KLT targets
-            # (initialization.cpp:158-167)
-            klt_targets += [sp, mid, ep]
+            # each segment contributes KLT targets sampled along it
+            # (reference: start/mid/end, initialization.cpp:158-167). In
+            # line-only mode segments are the ONLY target source, so sample
+            # quarter points too — a denser bootstrap map stabilizes the
+            # pose until the first line seeds converge
+            alphas = ((0.0, 0.25, 0.5, 0.75, 1.0)
+                      if not self.cfg.pipeline.has_pt else (0.0, 0.5, 1.0))
+            klt_targets += [sp + a * (ep - sp) for a in alphas]
         targets = np.concatenate(klt_targets, 0) if klt_targets else np.zeros((0, 2))
         if len(targets) < self.cfg.pipeline.init_min_fts:  # initialization.cpp:44
             return FrameResult(frame.frame_id, self.stage, QUALITY_INSUFFICIENT,
