@@ -85,21 +85,30 @@ def main():
     if os.environ.get("BENCH_SINGLE", "1") != "0":
         cfg = Config(pipeline=PipelineConfig(pipelined=True,
                                              pipeline_depth=12))
-        vo = FrameHandlerMono(cam, cfg)
-        # warmup/bootstrap phase (includes XLA compiles)
-        times = []
-        t_all0 = time.perf_counter()
-        for i, img in enumerate(imgs):
-            t0 = time.perf_counter()
-            r = vo.add_image(img, i / 30.0)
-            dt = time.perf_counter() - t0
-            times.append((r.stage if r is not None else STAGE_DEFAULT, dt))
-            if r is not None:
-                print(f"frame {r.frame_id}: stage={r.stage} q={r.quality} "
-                      f"npt={r.n_pt_matches} nseg={r.n_seg_matches} "
-                      f"kf={r.is_keyframe} {dt*1000:.1f}ms", file=sys.stderr)
-        vo.flush()
-        total = time.perf_counter() - t_all0
+        # TWO full passes with fresh handlers: pass 0 compiles every
+        # program variant the sequence will trigger (seed-width buckets
+        # appear mid-sequence and a cold-cache compile is ~50 s over the
+        # remote-compile tunnel — landing inside the measurement window it
+        # destroys the number); pass 1 re-tracks from scratch against the
+        # now-warm persistent cache and is the timed run.
+        for _pass in range(2):
+            vo = FrameHandlerMono(cam, cfg)
+            times = []
+            t_all0 = time.perf_counter()
+            for i, img in enumerate(imgs):
+                t0 = time.perf_counter()
+                r = vo.add_image(img, i / 30.0)
+                dt = time.perf_counter() - t0
+                times.append((r.stage if r is not None else STAGE_DEFAULT,
+                              dt))
+                if r is not None:
+                    print(f"pass{_pass} frame {r.frame_id}: stage={r.stage} "
+                          f"q={r.quality} "
+                          f"npt={r.n_pt_matches} nseg={r.n_seg_matches} "
+                          f"kf={r.is_keyframe} {dt*1000:.1f}ms",
+                          file=sys.stderr)
+            vo.flush()
+            total = time.perf_counter() - t_all0
 
         # steady-state: the last half of the DEFAULT-stage frames — by then
         # the seed-table width buckets have stabilized, so no

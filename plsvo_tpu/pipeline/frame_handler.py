@@ -1020,6 +1020,10 @@ class FrameHandlerMono:
             self.last_frame = kf_frame
             self.stage = STAGE_DEFAULT
             res = self._process_frame(pyr, ts)
+            if res is None:
+                # pipelined mode: the resumed frame's result surfaces with a
+                # later burst fetch (as a DEFAULT-stage result)
+                return None
             return FrameResult(res.frame_id, STAGE_RELOCALIZING, res.quality,
                                res.n_pt_matches, res.n_seg_matches,
                                res.is_keyframe, res.R_f_w, res.t_f_w)
