@@ -98,6 +98,12 @@ class PipelineConfig:
     # depth filter (C12)
     seed_convergence_sigma2_thresh: float = 200.0  # depth_filter.cpp:332
     max_seed_kfs: int = 3  # age-out batches (depth_filter.cpp:289)
+    # sliding-search budget per frame: only the N seeds with the longest
+    # epipolar bands run the window search; sub-2px bands align directly
+    # (reference short-epipolar path, matcher.cpp:325-345); the rest wait
+    # (reference's bounded mapping queue drops under load,
+    # depth_filter.cpp:116-131). 0 = search every seed.
+    seed_search_budget: int = 128
 
     # epipolar search (C9)
     epi_max_steps: int = 256  # fixed budget (ref caps at 1000, matcher.cpp:351)

@@ -100,6 +100,43 @@ def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray, *, oob_value: float = 0.0
     return jnp.where(valid, val, oob_value), valid
 
 
+def pack_bilinear_multi(channels) -> jnp.ndarray:
+    """pack_bilinear for C channels at once: returns (H, W, 4, C) so ONE
+    gather of a contiguous 4*C-float segment yields every channel's four
+    bilinear taps (e.g. intensity + dense dx/dy gradient maps — a 5-gather
+    patch+gradient sample becomes one gather)."""
+    return jnp.stack([pack_bilinear(c) for c in channels], axis=-1)
+
+
+def bilinear_sample_multi(packed: jnp.ndarray, uv: jnp.ndarray):
+    """Bilinear interpolation of a (H, W, 4, C) multi-channel packed texture
+    (see pack_bilinear_multi). Returns (values (..., C), valid).
+
+    Central-difference-of-interpolant equals interpolant-of-central-
+    difference (both are linear shift-invariant operators), so channel c
+    holding a dense gradient map reproduces _patch_and_grad's subpixel
+    gradients exactly — except at the 1px image border where the dense map
+    is zeroed; `valid` therefore requires a 1px interior margin."""
+    H, W = packed.shape[0], packed.shape[1]
+    u = uv[..., 0]
+    v = uv[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    # gradient maps are zeroed on the outermost ring -> require it interior
+    valid = (u0i >= 1) & (v0i >= 1) & (u0i + 1 <= W - 2) & (v0i + 1 <= H - 2)
+    u0c = jnp.clip(u0i, 0, W - 2)
+    v0c = jnp.clip(v0i, 0, H - 2)
+    taps = packed[v0c, u0c]  # (..., 4, C) one contiguous-segment gather
+    w = jnp.stack([(1.0 - fu) * (1.0 - fv), fu * (1.0 - fv),
+                   (1.0 - fu) * fv, fu * fv], axis=-1)  # (..., 4)
+    val = jnp.einsum("...k,...kc->...c", w, taps)
+    return jnp.where(valid[..., None], val, 0.0), valid
+
+
 def patch_offsets(patch_size: int, dtype=jnp.float32) -> jnp.ndarray:
     """(patch_size**2, 2) offsets centered on the patch: the reference uses
     top-left-anchored loops with halfpatch offset (src/sparse_img_align.cpp:224);

@@ -156,7 +156,7 @@ class SeedUpdateResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("patch_size", "n_epi_steps", "max_seed_kfs",
-                                   "sigma_conv_factor"))
+                                   "sigma_conv_factor", "max_search"))
 def update_point_seeds(
     seeds: PointSeeds,
     kf_R_w: jnp.ndarray,  # (K,3,3) keyframe poses cam->world
@@ -171,9 +171,20 @@ def update_point_seeds(
     n_epi_steps: int = 64,
     max_seed_kfs: int = 3,
     sigma_conv_factor: float = 200.0,
+    max_search: int = 0,
 ) -> SeedUpdateResult:
     """One frame's worth of seed updates, all seeds at once
-    (reference: updatePointSeeds, depth_filter.cpp:282-363)."""
+    (reference: updatePointSeeds, depth_filter.cpp:282-363).
+
+    max_search > 0 enables the short-epipolar split (reference:
+    matcher.cpp:325-345 — a band under ~2 px skips the ZMSSD walk and goes
+    straight to subpixel alignment): only the `max_search` seeds with the
+    LONGEST epipolar bands run the sliding-window search (its window gather
+    dominates the whole update's cost); converged-ish seeds with sub-2px
+    bands align directly from the mean-depth projection; seeds that are
+    neither (long band but out of search budget) are skipped this frame
+    without an outlier penalty — the reference's bounded mapping queue
+    drops frames under load the same way (depth_filter.cpp:116-131)."""
     f32 = jnp.float32
     S = seeds.mu.shape[0]
 
@@ -230,10 +241,52 @@ def update_point_seeds(
     xyz_near = jnp.einsum("sij,sj->si", R_cr, seeds.f * d_min[:, None]) + t_cr
     search_valid = visible & warp_ok & A_ok & (xyz_far[:, 2] > 1e-3) & (xyz_near[:, 2] > 1e-3)
 
-    epi = matcher_ops.epipolar_search_sliding_atlas(
-        cur_atlas, cxo, cso, patches_b, xyz_far, xyz_near, slevel,
-        search_valid, fx, fy, cx, cy, patch_size=patch_size,
-        n_steps=n_epi_steps)
+    skipped = jnp.zeros((S,), bool)
+    if max_search:
+        # the budget path must be taken whenever the feature is enabled —
+        # NOT only when max_search < S — so results are invariant to the
+        # processed table width: the live-prefix width differs between
+        # sequential and pipelined execution and must not change which
+        # code path a given seed's update takes.
+        k_search = min(max_search, S)
+        # band length (px at the search level) of each seed's epipolar
+        # segment — the projections of the depth extremes
+        def proj0(xyz):
+            z = jnp.maximum(xyz[:, 2], 1e-6)
+            return jnp.stack([fx * xyz[:, 0] / z + cx,
+                              fy * xyz[:, 1] / z + cy], -1)
+
+        scale_l = 1.0 / (1 << slevel).astype(f32)
+        band = jnp.linalg.norm(
+            (proj0(xyz_near) - proj0(xyz_far)) * scale_l[:, None], axis=-1)
+        band = jnp.where(search_valid, band, -1.0)
+        is_short = search_valid & (band <= 2.0)
+        long_key = jnp.where(is_short, -1.0, band)
+        _, idx_long = jax.lax.top_k(long_key, k_search)
+        sub = lambda a: a[idx_long]
+        epi_sub = matcher_ops.epipolar_search_sliding_atlas(
+            cur_atlas, cxo, cso, sub(patches_b), sub(xyz_far),
+            sub(xyz_near), sub(slevel), sub(search_valid) & ~sub(is_short),
+            fx, fy, cx, cy, patch_size=patch_size, n_steps=n_epi_steps)
+        # short path: align directly from the mean-depth projection
+        uv_level0 = uv_cur * (1.0 / (1 << slevel).astype(f32))[:, None]
+        epi_uv = uv_level0.at[idx_long].set(
+            jnp.where(epi_sub.ok[:, None], epi_sub.uv_level,
+                      uv_level0[idx_long]))
+        searched = jnp.zeros((S,), bool).at[idx_long].set(
+            sub(search_valid) & ~sub(is_short))
+        epi_ok = is_short | (jnp.zeros((S,), bool).at[idx_long].set(
+            epi_sub.ok))
+        # long-band seeds that did not fit the search budget: skip silently
+        skipped = search_valid & ~is_short & ~searched
+        epi = matcher_ops.EpipolarResult(
+            uv_level=epi_uv, zmssd=jnp.zeros((S,), f32),
+            ok=epi_ok & ~skipped)
+    else:
+        epi = matcher_ops.epipolar_search_sliding_atlas(
+            cur_atlas, cxo, cso, patches_b, xyz_far, xyz_near, slevel,
+            search_valid, fx, fy, cx, cy, patch_size=patch_size,
+            n_steps=n_epi_steps)
 
     # subpixel refinement at the search level, then triangulate
     from plsvo_tpu.ops.feature_align import align2d_atlas
@@ -269,9 +322,11 @@ def update_point_seeds(
     mu = jnp.where(do_upd, mu_n, seeds.mu)
     sigma2 = jnp.where(do_upd, s2_n, seeds.sigma2)
     a_new = jnp.where(do_upd, a_n, seeds.a)
-    # failed visible search counts as an outlier observation (b += 1)
+    # failed visible search counts as an outlier observation (b += 1);
+    # budget-skipped seeds are not penalized (no search was attempted)
     b_new = jnp.where(do_upd, b_n,
-                      jnp.where(visible & ~matched, seeds.b + 1.0, seeds.b))
+                      jnp.where(visible & ~matched & ~skipped,
+                                seeds.b + 1.0, seeds.b))
 
     converged = alive & (jnp.sqrt(jnp.maximum(sigma2, 0.0))
                          < seeds.z_range / sigma_conv_factor)
@@ -474,6 +529,16 @@ def update_line_seeds(
     re_ = update_point_seeds(
         _line_endpoint_view(seeds, False), kf_R_w, kf_t_w, kf_pyr_stack,
         cur_pyr, R_w_cur, t_w_cur, fx, fy, cx, cy, batch_counter, **kw)
+    return _combine_line_endpoint_results(
+        seeds, rs, re_, batch_counter, max_seed_kfs, sigma_conv_factor)
+
+
+def _combine_line_endpoint_results(
+    seeds: LineSeeds, rs: SeedUpdateResult, re_: SeedUpdateResult,
+    batch_counter, max_seed_kfs: int, sigma_conv_factor: float,
+) -> LineSeedUpdateResult:
+    """Fuse two endpoint SeedUpdateResults into the line-seed update
+    (reference: updateLineSeed, depth_filter.cpp:514-566)."""
     both = rs.matched & re_.matched
     # apply endpoint updates only when BOTH endpoints matched (the reference
     # updates jointly in updateLineSeed, depth_filter.cpp:406-430)
@@ -499,3 +564,57 @@ def update_line_seeds(
         seeds=new_seeds, converged=converged, matched=both,
         depth_s=1.0 / jnp.maximum(mu_s, 1e-10),
         depth_e=1.0 / jnp.maximum(mu_e, 1e-10))
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_epi_steps",
+                                   "max_seed_kfs", "sigma_conv_factor",
+                                   "has_pt", "has_ln", "max_search"))
+def update_seeds_combined(
+    pt_seeds,  # PointSeeds view (live prefix) or None
+    ln_seeds,  # LineSeeds view or None
+    kf_R_w, kf_t_w, kf_pyr_stack, cur_pyr, R_w_cur, t_w_cur,
+    fx, fy, cx, cy, batch_counter,
+    *,
+    has_pt: bool,
+    has_ln: bool,
+    patch_size: int = 8,
+    n_epi_steps: int = 64,
+    max_seed_kfs: int = 3,
+    sigma_conv_factor: float = 200.0,
+    max_search: int = 0,
+):
+    """Point seeds + both line-seed endpoints through ONE epipolar/align
+    pipeline: the three per-kind update_point_seeds calls each pay the full
+    chain of warp + sliding-window search + align2d while-loop kernels;
+    concatenating the row sets amortizes those fixed costs over one batch
+    (the math per row is identical — update_point_seeds is row-wise).
+
+    Returns (SeedUpdateResult | None, LineSeedUpdateResult | None) in the
+    same row spaces as the input views."""
+    parts = []
+    if has_pt:
+        parts.append(pt_seeds)
+    if has_ln:
+        parts.append(_line_endpoint_view(ln_seeds, True))
+        parts.append(_line_endpoint_view(ln_seeds, False))
+    combined = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+    res = update_point_seeds(
+        combined, kf_R_w, kf_t_w, kf_pyr_stack, cur_pyr, R_w_cur, t_w_cur,
+        fx, fy, cx, cy, batch_counter, patch_size=patch_size,
+        n_epi_steps=n_epi_steps, max_seed_kfs=max_seed_kfs,
+        sigma_conv_factor=sigma_conv_factor, max_search=max_search)
+    off = 0
+    pt_res = None
+    if has_pt:
+        Wp = pt_seeds.mu.shape[0]
+        pt_res = jax.tree.map(lambda a: a[:Wp], res)
+        off = Wp
+    ln_res = None
+    if has_ln:
+        Wl = ln_seeds.mu_s.shape[0]
+        rs = jax.tree.map(lambda a: a[off:off + Wl], res)
+        re_ = jax.tree.map(lambda a: a[off + Wl:off + 2 * Wl], res)
+        ln_res = _combine_line_endpoint_results(
+            ln_seeds, rs, re_, batch_counter, max_seed_kfs,
+            sigma_conv_factor)
+    return pt_res, ln_res

@@ -85,22 +85,25 @@ def _patch_and_grad(img: jnp.ndarray, centers: jnp.ndarray, patch_size: int):
     """Bilinear patch + central-difference gradient of the *interpolated*
     image at each patch pixel (matches sparse_img_align.cpp:252-258).
 
+    Sampled as ONE gather through a multi-channel packed texture holding
+    [I, dx, dy] (dense central-difference maps): interpolating a dense
+    gradient map equals differencing the interpolant — both are linear
+    shift-invariant operators — so this is exact, at 1/5 the gather
+    segments of sampling I at five offsets.
+
     centers: (..., 2) level coords. Returns (I, dx, dy, valid_all) with
     I/dx/dy shaped (..., P) and valid (...,) requiring the whole bordered
     patch in-frame (halfsize+1, sparse_img_align.cpp:219)."""
+    from plsvo_tpu.image import (bilinear_sample_multi, gradient,
+                                 pack_bilinear_multi)
+
     offs = patch_offsets(patch_size, centers.dtype)  # (P, 2)
     pos = centers[..., None, :] + offs  # (..., P, 2)
-    from plsvo_tpu.image import bilinear_sample
-
-    I, ok0 = bilinear_sample(img, pos)
-    Ixp, ok1 = bilinear_sample(img, pos + jnp.asarray([1.0, 0.0], centers.dtype))
-    Ixm, ok2 = bilinear_sample(img, pos - jnp.asarray([1.0, 0.0], centers.dtype))
-    Iyp, ok3 = bilinear_sample(img, pos + jnp.asarray([0.0, 1.0], centers.dtype))
-    Iym, ok4 = bilinear_sample(img, pos - jnp.asarray([0.0, 1.0], centers.dtype))
-    dx = 0.5 * (Ixp - Ixm)
-    dy = 0.5 * (Iyp - Iym)
-    valid = jnp.all(ok0 & ok1 & ok2 & ok3 & ok4, axis=-1)
-    return I, dx, dy, valid
+    dx_map, dy_map = gradient(img)
+    packed = pack_bilinear_multi([img, dx_map, dy_map])  # (H,W,4,3)
+    vals, ok = bilinear_sample_multi(packed, pos)  # (...,P,3)
+    valid = jnp.all(ok, axis=-1)
+    return vals[..., 0], vals[..., 1], vals[..., 2], valid
 
 
 def _warp_project(R, t, xyz, fx, fy, cx, cy, scale):
@@ -151,27 +154,36 @@ def sparse_img_align(
     Jpt_frame = jacobian_xyz2uv(pts.xyz_ref)  # (N,2,6)
     Jseg_frame = jacobian_xyz2uv(segs.xyz_ref)  # (M,K,2,6)
 
+    # points + all line samples share the gather batch: ONE warp/project and
+    # ONE patch gather per GN iteration instead of two of each (the fixed
+    # per-kernel costs dominate at these sizes)
+    xyz_all = jnp.concatenate([pts.xyz_ref, segs.xyz_ref.reshape(M * K, 3)])
+    uv_all_ref = jnp.concatenate([pts.uv_ref, segs.uv_ref.reshape(M * K, 2)])
+
     for level in levels:
         ref_img = pyr_ref[level]
         cur_img = pyr_cur[level]
         scale = f32(1.0 / (1 << level))
         focal_scale = (fx * scale).astype(f32)  # errorMultiplier2/2^L analogue
 
-        # ---- per-level inverse-compositional precompute ----
-        I_ref_pt, dx_pt, dy_pt, vis_pt = _patch_and_grad(
-            ref_img, pts.uv_ref * scale, patch_size)
-        vis_pt = vis_pt & pts.valid
+        # ---- per-level inverse-compositional precompute (one fused
+        # patch+gradient gather for points and line samples) ----
+        I_ref_all, dx_all, dy_all, vis_all = _patch_and_grad(
+            ref_img, uv_all_ref * scale, patch_size)
+        I_ref_pt, dx_pt, dy_pt = (a[:N] for a in (I_ref_all, dx_all, dy_all))
+        vis_pt = vis_all[:N] & pts.valid
         # J = (dx*J0 + dy*J1) * focal*scale  (sparse_img_align.cpp:260-263)
         Jpt = (
             dx_pt[..., None] * Jpt_frame[:, None, 0, :]
             + dy_pt[..., None] * Jpt_frame[:, None, 1, :]
         ) * focal_scale  # (N,P,6)
 
-        I_ref_sg, dx_sg, dy_sg, vis_sample = _patch_and_grad(
-            ref_img, segs.uv_ref * scale, patch_size)
+        I_ref_sg = I_ref_all[N:].reshape(M, K, P)
+        dx_sg = dx_all[N:].reshape(M, K, P)
+        dy_sg = dy_all[N:].reshape(M, K, P)
         # reference requires both ENDPOINT patches in frame (line-level check,
         # sparse_img_align.cpp:299-301); we require all samples' patches.
-        vis_sg = jnp.all(vis_sample, axis=-1) & seg_alive  # (M,)
+        vis_sg = jnp.all(vis_all[N:].reshape(M, K), axis=-1) & seg_alive  # (M,)
         Jsg = (
             dx_sg[..., None] * Jseg_frame[:, :, None, 0, :]
             + dy_sg[..., None] * Jseg_frame[:, :, None, 1, :]
@@ -184,11 +196,14 @@ def sparse_img_align(
         def body(carry):
             it, stop, R, t, R_prev, t_prev, chi2_prev, alive = carry
 
-            # ---- points ----
-            _, uv_cur_pt = _warp_project(R, t, pts.xyz_ref, fx, fy, cx, cy, scale)
             from plsvo_tpu.image import extract_patches
 
-            I_cur_pt, in_pt = extract_patches(cur_img, uv_cur_pt, patch_size)
+            # ---- one warp + gather for points and line samples ----
+            _, uv_cur_all = _warp_project(R, t, xyz_all, fx, fy, cx, cy, scale)
+            I_cur_all, in_all = extract_patches(cur_img, uv_cur_all, patch_size)
+
+            # ---- points ----
+            I_cur_pt, in_pt = I_cur_all[:N], in_all[:N]
             ok_pt = (vis_pt & in_pt)[:, None]  # (N,1) -> broadcast over P
             r_pt = I_cur_pt - I_ref_pt  # (N,P)
             w_pt = 1.0 / (1.0 + jnp.abs(r_pt))
@@ -200,8 +215,8 @@ def sparse_img_align(
             chi2_pt = jnp.sum(wm_pt * r_pt * r_pt)
 
             # ---- segments ----
-            _, uv_cur_sg = _warp_project(R, t, segs.xyz_ref, fx, fy, cx, cy, scale)
-            I_cur_sg, in_sg = extract_patches(cur_img, uv_cur_sg, patch_size)
+            I_cur_sg = I_cur_all[N:].reshape(M, K, P)
+            in_sg = in_all[N:].reshape(M, K)
             ok_line = vis_sg & jnp.all(in_sg, axis=-1) & alive  # (M,)
             r_sg = I_cur_sg - I_ref_sg  # (M,K,P)
             mean_abs = jnp.mean(jnp.abs(r_sg), axis=(1, 2))  # (M,)

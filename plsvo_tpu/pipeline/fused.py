@@ -180,22 +180,29 @@ def track_frame_core(
 
     cur_sub = cur_pyr[:n_pyr_use]
 
-    # ---- 2. reprojection + batched refinement ----
-    pt_res = reprojector.reproject_points(
-        mt.pt_pos, mt.pt_status, mt.pt_anchor_kf, mt.pt_anchor_uv,
-        mt.pt_anchor_f, mt.pt_anchor_level, mt.pt_obs_kf, mt.pt_obs_uv,
-        mt.pt_obs_f, mt.pt_obs_level, mt.kf_R, mt.kf_t,
-        kf_pyr, cur_sub, R_cur, t_cur, fx, fy, cx, cy,
-        cell_size=cell_size, max_out=max_pts_out)
-    pt_f_cur = _unproject(pt_res.uv, fx, fy, cx, cy)
-
+    # ---- 2. reprojection + batched refinement (points + both segment
+    # endpoints refined in ONE find_match_direct batch when lines are on) ----
     if has_ls:
-        seg_res = reprojector.reproject_segments(
+        pt_res, seg_res = reprojector.reproject_combined(
+            mt.pt_pos, mt.pt_status, mt.pt_anchor_kf, mt.pt_anchor_uv,
+            mt.pt_anchor_f, mt.pt_anchor_level, mt.pt_obs_kf, mt.pt_obs_uv,
+            mt.pt_obs_f, mt.pt_obs_level,
             mt.ln_spos, mt.ln_epos, mt.ln_status, mt.ln_anchor_kf,
             mt.ln_anchor_suv, mt.ln_anchor_euv, mt.ln_anchor_sf,
             mt.ln_anchor_ef, mt.ln_anchor_level, mt.kf_R, mt.kf_t,
             kf_pyr, cur_sub, R_cur, t_cur, fx, fy, cx, cy,
-            cell_size=cell_size_segs, max_out=max_segs_out)
+            cell_size=cell_size, cell_size_segs=cell_size_segs,
+            max_pts_out=max_pts_out, max_segs_out=max_segs_out)
+    else:
+        pt_res = reprojector.reproject_points(
+            mt.pt_pos, mt.pt_status, mt.pt_anchor_kf, mt.pt_anchor_uv,
+            mt.pt_anchor_f, mt.pt_anchor_level, mt.pt_obs_kf, mt.pt_obs_uv,
+            mt.pt_obs_f, mt.pt_obs_level, mt.kf_R, mt.kf_t,
+            kf_pyr, cur_sub, R_cur, t_cur, fx, fy, cx, cy,
+            cell_size=cell_size, max_out=max_pts_out)
+    pt_f_cur = _unproject(pt_res.uv, fx, fy, cx, cy)
+
+    if has_ls:
         seg_sf_cur = _unproject(seg_res.s_uv, fx, fy, cx, cy)
         seg_ef_cur = _unproject(seg_res.e_uv, fx, fy, cx, cy)
         seg_line = pose_opt.line_coeffs_from_bearings(seg_sf_cur, seg_ef_cur)
@@ -243,9 +250,6 @@ def track_frame_core(
         t_f_w=mt.kf_t[jnp.maximum(okf, 0)],
         f_obs=mt.pt_obs_f[st_pt_lm],
         valid=okf >= 0)
-    st_pt_pos, pt_improved = struct_opt.optimize_points(
-        mt.pt_pos[st_pt_lm], obs, st_pt_valid, n_iter=struct_iters)
-    st_pt_valid = st_pt_valid & pt_improved
 
     key_sg = jnp.where(seg_res.matched,
                        -ln_last_optim[seg_res.lm_idx].astype(jnp.float32),
@@ -261,10 +265,37 @@ def track_frame_core(
     e_obs = struct_opt.StructObs(
         R_f_w=mt.kf_R[lo_kfc], t_f_w=mt.kf_t[lo_kfc],
         f_obs=mt.ln_obs_ef[st_ln_lm], valid=lokf >= 0)
-    st_ln_spos, st_ln_epos, s_ok, e_ok = struct_opt.optimize_segments(
-        mt.ln_spos[st_ln_lm], mt.ln_epos[st_ln_lm], s_obs, e_obs,
-        st_ln_valid, n_iter=struct_iters)
-    st_ln_valid = st_ln_valid & s_ok & e_ok
+    # points + both endpoint sets through ONE batched 3x3 GN (obs slot
+    # counts may differ between point and line tables — pad to the max)
+    Op = obs.valid.shape[1]
+    Ol = s_obs.valid.shape[1]
+    Om = max(Op, Ol)
+
+    def pad_obs(o, O):
+        if O == Om:
+            return o
+        pad = Om - O
+        return struct_opt.StructObs(
+            R_f_w=jnp.pad(o.R_f_w, ((0, 0), (0, pad), (0, 0), (0, 0))),
+            t_f_w=jnp.pad(o.t_f_w, ((0, 0), (0, pad), (0, 0))),
+            f_obs=jnp.pad(o.f_obs, ((0, 0), (0, pad), (0, 0))),
+            valid=jnp.pad(o.valid, ((0, 0), (0, pad))))
+
+    all_obs = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs),
+        pad_obs(obs, Op), pad_obs(s_obs, Ol), pad_obs(e_obs, Ol))
+    all_pos = jnp.concatenate(
+        [mt.pt_pos[st_pt_lm], mt.ln_spos[st_ln_lm], mt.ln_epos[st_ln_lm]])
+    all_valid = jnp.concatenate([st_pt_valid, st_ln_valid, st_ln_valid])
+    all_new, all_impr = struct_opt.optimize_points(
+        all_pos, all_obs, all_valid, n_iter=struct_iters)
+    Kp = n_struct_pts
+    Kl = n_struct_segs
+    st_pt_pos = all_new[:Kp]
+    st_pt_valid = st_pt_valid & all_impr[:Kp]
+    st_ln_spos = all_new[Kp:Kp + Kl]
+    st_ln_epos = all_new[Kp + Kl:]
+    st_ln_valid = st_ln_valid & all_impr[Kp:Kp + Kl] & all_impr[Kp + Kl:]
 
     return FusedResult(
         R_f_w=pres.R, t_f_w=pres.t, cov=pres.cov,
@@ -368,6 +399,7 @@ def build_next_inputs(res: FusedResult, mt: MapTables,
 
 @partial(jax.jit, static_argnames=(
     "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
+    "seed_search_budget",
     "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
@@ -420,7 +452,7 @@ def track_frame_step(
 
 @partial(jax.jit, static_argnames=(
     "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
+    "seed_search_budget", "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
     "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
@@ -464,6 +496,7 @@ def _track_frame_step_impl(
     frame_id,
     pt_width=None,
     ln_width=None,
+    seed_search_budget: int = 0,
     **kw,
 ) -> FullStepResult:
     from plsvo_tpu.ops import depth_filter as df
@@ -479,47 +512,51 @@ def _track_frame_step_impl(
     t_w_cur = -res.R_f_w.T @ res.t_f_w
     seed_pyrs = (kf_pyr[:n_pyr_seed], cur_pyr[:n_pyr_seed])
     skw = dict(max_seed_kfs=max_seed_kfs,
-               sigma_conv_factor=sigma_conv_factor)
+               sigma_conv_factor=sigma_conv_factor,
+               max_search=seed_search_budget)
 
     # seed tables are processed only up to the live prefix (free slots are
     # allocated lowest-first, so alive rows cluster at the front; the host
     # picks pt_width/ln_width from its alive mirror) — the epipolar search
     # cost scales with the processed width, not the capacity. Outputs are
     # padded back to capacity so the host path is width-agnostic.
+    # Point seeds and both line-seed endpoints go through ONE combined
+    # pipeline (df.update_seeds_combined) — one warp/search/align kernel
+    # chain instead of three.
     pt_conv = None
-    if update_pt_seeds:
-        W = pt_width or pt_seeds.mu.shape[0]
-        sub = jax.tree.map(lambda a: a[:W], pt_seeds)
-        pres = df.update_point_seeds(
-            sub, R_w_kf, t_w_kf, *seed_pyrs, R_w_cur, t_w_cur,
-            fx, fy, cx, cy, batch_counter, **skw)
-        tail_alive = pt_seeds.alive[W:]
-        pt_seeds = jax.tree.map(
-            lambda new, old: jnp.concatenate([new, old[W:]]),
-            pres.seeds, pt_seeds)
-        pad = pt_seeds.mu.shape[0] - W
-        pt_conv = (
-            jnp.concatenate([pres.converged, jnp.zeros(pad, bool)]),
-            jnp.concatenate([pres.depth_converged, jnp.zeros(pad)]),
-            jnp.concatenate([pres.seeds.alive, tail_alive]))
-
     ln_conv = None
-    if update_ln_seeds:
-        W = ln_width or ln_seeds.mu_s.shape[0]
-        sub = jax.tree.map(lambda a: a[:W], ln_seeds)
-        lres = df.update_line_seeds(
-            sub, R_w_kf, t_w_kf, *seed_pyrs, R_w_cur, t_w_cur,
-            fx, fy, cx, cy, batch_counter, **skw)
-        tail_alive = ln_seeds.alive[W:]
-        ln_seeds = jax.tree.map(
-            lambda new, old: jnp.concatenate([new, old[W:]]),
-            lres.seeds, ln_seeds)
-        pad = ln_seeds.mu_s.shape[0] - W
-        ln_conv = (
-            jnp.concatenate([lres.converged, jnp.zeros(pad, bool)]),
-            jnp.concatenate([lres.depth_s, jnp.zeros(pad)]),
-            jnp.concatenate([lres.depth_e, jnp.zeros(pad)]),
-            jnp.concatenate([lres.seeds.alive, tail_alive]))
+    if update_pt_seeds or update_ln_seeds:
+        Wp = (pt_width or pt_seeds.mu.shape[0]) if update_pt_seeds else 0
+        Wl = (ln_width or ln_seeds.mu_s.shape[0]) if update_ln_seeds else 0
+        sub_pt = (jax.tree.map(lambda a: a[:Wp], pt_seeds)
+                  if update_pt_seeds else None)
+        sub_ln = (jax.tree.map(lambda a: a[:Wl], ln_seeds)
+                  if update_ln_seeds else None)
+        pres, lres = df.update_seeds_combined(
+            sub_pt, sub_ln, R_w_kf, t_w_kf, *seed_pyrs, R_w_cur, t_w_cur,
+            fx, fy, cx, cy, batch_counter,
+            has_pt=update_pt_seeds, has_ln=update_ln_seeds, **skw)
+        if update_pt_seeds:
+            tail_alive = pt_seeds.alive[Wp:]
+            pt_seeds = jax.tree.map(
+                lambda new, old: jnp.concatenate([new, old[Wp:]]),
+                pres.seeds, pt_seeds)
+            pad = pt_seeds.mu.shape[0] - Wp
+            pt_conv = (
+                jnp.concatenate([pres.converged, jnp.zeros(pad, bool)]),
+                jnp.concatenate([pres.depth_converged, jnp.zeros(pad)]),
+                jnp.concatenate([pres.seeds.alive, tail_alive]))
+        if update_ln_seeds:
+            tail_alive = ln_seeds.alive[Wl:]
+            ln_seeds = jax.tree.map(
+                lambda new, old: jnp.concatenate([new, old[Wl:]]),
+                lres.seeds, ln_seeds)
+            pad = ln_seeds.mu_s.shape[0] - Wl
+            ln_conv = (
+                jnp.concatenate([lres.converged, jnp.zeros(pad, bool)]),
+                jnp.concatenate([lres.depth_s, jnp.zeros(pad)]),
+                jnp.concatenate([lres.depth_e, jnp.zeros(pad)]),
+                jnp.concatenate([lres.seeds.alive, tail_alive]))
 
     nxt = None
     if emit_next:
@@ -533,6 +570,7 @@ def _track_frame_step_impl(
 @partial(jax.jit, static_argnames=(
     "mesh", "mesh_axis",
     "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
+    "seed_search_budget",
     "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
@@ -594,7 +632,7 @@ def _make_shard(mesh, mesh_axis):
 @partial(jax.jit, static_argnames=(
     "mesh", "mesh_axis",
     "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "sigma_conv_factor", "n_pyr_seed", "pt_width", "ln_width",
+    "seed_search_budget", "sigma_conv_factor", "n_pyr_seed", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
     "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",

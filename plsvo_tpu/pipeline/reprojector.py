@@ -12,6 +12,13 @@ Divergence (by design): the reference gathers candidates from the features
 of the 10 closest keyframes + the candidate lists; with fixed landmark
 tables it is simpler and cheaper to project ALL active landmarks — the
 per-cell dedup yields the same per-frame working set.
+
+Structure: `_select_points`/`_select_segments` do projection + per-cell
+dedup + anchor selection and emit `RefineInputs`; the refinement
+(`matcher.find_match_direct_atlas`) runs either per class
+(reproject_points/reproject_segments) or, in the pipeline hot path, ONCE
+over the concatenation of points + both segment endpoints
+(reproject_combined) — one warp/align2d kernel chain instead of three.
 """
 from __future__ import annotations
 
@@ -39,6 +46,20 @@ def masked_compact(mask: jnp.ndarray, max_out: int):
     return jnp.where(ok, src, 0), ok
 
 
+class RefineInputs(NamedTuple):
+    """Per-candidate inputs to find_match_direct (one row per candidate)."""
+
+    kf_idx: jnp.ndarray  # (M,) anchor keyframe slot (clamped >= 0)
+    uv_ref: jnp.ndarray  # (M,2) anchor feature px (level-0)
+    f_ref: jnp.ndarray  # (M,3) anchor bearing
+    depth_ref: jnp.ndarray  # (M,) range along the anchor bearing
+    level_ref: jnp.ndarray  # (M,)
+    R_ca: jnp.ndarray  # (M,3,3) T_cur_anchor
+    t_ca: jnp.ndarray  # (M,3)
+    uv_init: jnp.ndarray  # (M,2) projected level-0 position in cur
+    valid: jnp.ndarray  # (M,)
+
+
 class ReprojResult(NamedTuple):
     lm_idx: jnp.ndarray  # (M,) landmark rows selected (garbage where ~sel)
     selected: jnp.ndarray  # (M,) a candidate was attempted
@@ -49,31 +70,37 @@ class ReprojResult(NamedTuple):
     n_matches: jnp.ndarray  # ()
 
 
-@partial(jax.jit, static_argnames=("cell_size", "max_out", "patch_size"))
-def reproject_points(
-    pt_pos: jnp.ndarray,  # (P,3)
-    pt_status: jnp.ndarray,  # (P,) int8
-    pt_anchor_kf: jnp.ndarray,  # (P,)
-    pt_anchor_uv: jnp.ndarray,  # (P,2)
-    pt_anchor_f: jnp.ndarray,  # (P,3)
-    pt_anchor_level: jnp.ndarray,  # (P,)
-    pt_obs_kf: jnp.ndarray,  # (P,O) observation slots (for min-angle anchor)
-    pt_obs_uv: jnp.ndarray,  # (P,O,2)
-    pt_obs_f: jnp.ndarray,  # (P,O,3)
-    pt_obs_level: jnp.ndarray,  # (P,O)
-    kf_R: jnp.ndarray,  # (K,3,3) T_f_w
-    kf_t: jnp.ndarray,  # (K,3)
-    kf_pyr_stack: Sequence[jnp.ndarray],
-    cur_pyr: Sequence[jnp.ndarray],
-    R_cur: jnp.ndarray, t_cur: jnp.ndarray,  # T_f_w of current frame (prior)
-    fx, fy, cx, cy,
-    *,
-    cell_size: int = 25,
-    max_out: int = 192,
-    patch_size: int = 8,
-) -> ReprojResult:
+class ReprojSegResult(NamedTuple):
+    lm_idx: jnp.ndarray  # (M,)
+    selected: jnp.ndarray
+    s_uv: jnp.ndarray  # (M,2)
+    e_uv: jnp.ndarray
+    level: jnp.ndarray
+    matched: jnp.ndarray  # both endpoints refined
+    n_attempts: jnp.ndarray
+    n_matches: jnp.ndarray
+
+
+def _rel_pose_to_anchor(kf_R, kf_t, akf_c, R_cur, t_cur):
+    """T_cur_anchor = T_cur_w * (T_anchor_w)^-1 per candidate."""
+    R_a = kf_R[akf_c]
+    t_a = kf_t[akf_c]
+    R_ca = jnp.einsum("ij,mkj->mik", R_cur, R_a)  # R_cur @ R_a^T
+    t_ca = t_cur[None] - jnp.einsum("mij,mj->mi", R_ca, t_a)
+    anchor_center = -jnp.einsum("mji,mj->mi", R_a, t_a)
+    return R_ca, t_ca, anchor_center
+
+
+def _select_points(
+    pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
+    pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
+    kf_R, kf_t, img_shape, R_cur, t_cur, fx, fy, cx, cy,
+    *, cell_size, max_out, patch_size,
+):
+    """Project all point landmarks, per-cell best-quality dedup, min-view-
+    angle anchor selection. Returns (lm, sel, RefineInputs)."""
     P = pt_pos.shape[0]
-    H, W = cur_pyr[0].shape
+    H, W = img_shape
     nx, ny, n_cells = grid_cells(W, H, cell_size)
 
     # ---- project all active landmarks ----
@@ -126,64 +153,28 @@ def reproject_points(
     a_f = jnp.where(has_obs[:, None], sel_f, pt_anchor_f[lm])
     a_level = jnp.where(has_obs, sel_level, pt_anchor_level[lm])
 
-    # ---- batched refinement (find_match_direct) ----
     akf_c = jnp.maximum(akf, 0)
-    R_a = kf_R[akf_c]  # (M,3,3) T_f_w of anchor
-    t_a = kf_t[akf_c]
-    # T_cur_anchor = T_cur_w * (T_anchor_w)^-1
-    R_ca = jnp.einsum("ij,mkj->mik", R_cur, R_a)  # R_cur @ R_a^T
-    t_ca = t_cur[None] - jnp.einsum("mij,mj->mi", R_ca, t_a)
-    # depth along the anchor bearing: |pos - anchor cam center|
-    anchor_center = -jnp.einsum("mji,mj->mi", R_a, t_a)
+    R_ca, t_ca, anchor_center = _rel_pose_to_anchor(
+        kf_R, kf_t, akf_c, R_cur, t_cur)
     depth_ref = jnp.linalg.norm(pt_pos[lm] - anchor_center, axis=-1)
-
-    kf_atlas, kx, ks = pack_pyramid_atlas(kf_pyr_stack)
-    cur_atlas, cx_, cs = pack_pyramid_atlas(cur_pyr)
-    res = matcher_ops.find_match_direct_atlas(
-        kf_atlas, kx, ks, cur_atlas, cx_, cs,
-        akf_c, a_uv, a_f, depth_ref,
-        a_level,
-        R_ca, t_ca,
-        uv[lm], sel & (akf >= 0),
-        fx, fy, cx, cy,
-        patch_size=patch_size, max_level=len(cur_pyr) - 1)
-
-    return ReprojResult(
-        lm_idx=lm, selected=sel, uv=res.uv, level=res.level,
-        matched=res.ok & sel,
-        n_attempts=jnp.sum(sel).astype(jnp.int32),
-        n_matches=jnp.sum(res.ok & sel).astype(jnp.int32))
+    return lm, sel, RefineInputs(
+        kf_idx=akf_c, uv_ref=a_uv, f_ref=a_f, depth_ref=depth_ref,
+        level_ref=a_level, R_ca=R_ca, t_ca=t_ca, uv_init=uv[lm],
+        valid=sel & (akf >= 0))
 
 
-class ReprojSegResult(NamedTuple):
-    lm_idx: jnp.ndarray  # (M,)
-    selected: jnp.ndarray
-    s_uv: jnp.ndarray  # (M,2)
-    e_uv: jnp.ndarray
-    level: jnp.ndarray
-    matched: jnp.ndarray  # both endpoints refined
-    n_attempts: jnp.ndarray
-    n_matches: jnp.ndarray
-
-
-@partial(jax.jit, static_argnames=("cell_size", "max_out", "patch_size"))
-def reproject_segments(
+def _select_segments(
     ln_spos, ln_epos, ln_status,
     ln_anchor_kf, ln_anchor_suv, ln_anchor_euv, ln_anchor_sf, ln_anchor_ef,
-    ln_anchor_level,
-    kf_R, kf_t, kf_pyr_stack, cur_pyr,
-    R_cur, t_cur, fx, fy, cx, cy,
-    *,
-    cell_size: int = 25,
-    max_out: int = 96,
-    patch_size: int = 8,
-) -> ReprojSegResult:
-    """Line landmarks: per-cell dedup on the midpoint cell, both endpoints
-    refined independently (reference: findMatchDirect(LineSeg),
+    ln_anchor_level, kf_R, kf_t, img_shape, R_cur, t_cur, fx, fy, cx, cy,
+    *, cell_size, max_out, patch_size,
+):
+    """Line landmarks: per-cell dedup on the midpoint cell; emits refine
+    inputs for BOTH endpoints (reference: findMatchDirect(LineSeg),
     matcher.cpp:232-275; grid insertion at both endpoint cells,
-    reprojector.cpp:405-423)."""
+    reprojector.cpp:405-423). Returns (lm, sel, ri_start, ri_end)."""
     L = ln_spos.shape[0]
-    H, W = cur_pyr[0].shape
+    H, W = img_shape
     nx, ny, n_cells = grid_cells(W, H, cell_size)
 
     def proj(pos):
@@ -213,30 +204,151 @@ def reproject_segments(
 
     akf = ln_anchor_kf[lm]
     akf_c = jnp.maximum(akf, 0)
-    R_a = kf_R[akf_c]
-    t_a = kf_t[akf_c]
-    R_ca = jnp.einsum("ij,mkj->mik", R_cur, R_a)
-    t_ca = t_cur[None] - jnp.einsum("mij,mj->mi", R_ca, t_a)
-    anchor_center = -jnp.einsum("mji,mj->mi", R_a, t_a)
+    R_ca, t_ca, anchor_center = _rel_pose_to_anchor(
+        kf_R, kf_t, akf_c, R_cur, t_cur)
     s_depth = jnp.linalg.norm(ln_spos[lm] - anchor_center, axis=-1)
     e_depth = jnp.linalg.norm(ln_epos[lm] - anchor_center, axis=-1)
-
     valid0 = sel & (akf >= 0)
+    lvl = ln_anchor_level[lm]
+    ri_s = RefineInputs(
+        kf_idx=akf_c, uv_ref=ln_anchor_suv[lm], f_ref=ln_anchor_sf[lm],
+        depth_ref=s_depth, level_ref=lvl, R_ca=R_ca, t_ca=t_ca,
+        uv_init=suv[lm], valid=valid0)
+    ri_e = RefineInputs(
+        kf_idx=akf_c, uv_ref=ln_anchor_euv[lm], f_ref=ln_anchor_ef[lm],
+        depth_ref=e_depth, level_ref=lvl, R_ca=R_ca, t_ca=t_ca,
+        uv_init=euv[lm], valid=valid0)
+    return lm, sel, ri_s, ri_e
+
+
+def _refine(kf_pyr_stack, cur_pyr, ri: RefineInputs, fx, fy, cx, cy,
+            *, patch_size):
     kf_atlas, kx, ks = pack_pyramid_atlas(kf_pyr_stack)
     cur_atlas, cx_, cs = pack_pyramid_atlas(cur_pyr)
-    res_s = matcher_ops.find_match_direct_atlas(
+    return matcher_ops.find_match_direct_atlas(
         kf_atlas, kx, ks, cur_atlas, cx_, cs,
-        akf_c, ln_anchor_suv[lm], ln_anchor_sf[lm],
-        s_depth, ln_anchor_level[lm], R_ca, t_ca, suv[lm], valid0,
+        ri.kf_idx, ri.uv_ref, ri.f_ref, ri.depth_ref, ri.level_ref,
+        ri.R_ca, ri.t_ca, ri.uv_init, ri.valid,
         fx, fy, cx, cy, patch_size=patch_size, max_level=len(cur_pyr) - 1)
-    res_e = matcher_ops.find_match_direct_atlas(
-        kf_atlas, kx, ks, cur_atlas, cx_, cs,
-        akf_c, ln_anchor_euv[lm], ln_anchor_ef[lm],
-        e_depth, ln_anchor_level[lm], R_ca, t_ca, euv[lm], valid0,
-        fx, fy, cx, cy, patch_size=patch_size, max_level=len(cur_pyr) - 1)
+
+
+@partial(jax.jit, static_argnames=("cell_size", "max_out", "patch_size"))
+def reproject_points(
+    pt_pos: jnp.ndarray,  # (P,3)
+    pt_status: jnp.ndarray,  # (P,) int8
+    pt_anchor_kf: jnp.ndarray,  # (P,)
+    pt_anchor_uv: jnp.ndarray,  # (P,2)
+    pt_anchor_f: jnp.ndarray,  # (P,3)
+    pt_anchor_level: jnp.ndarray,  # (P,)
+    pt_obs_kf: jnp.ndarray,  # (P,O) observation slots (for min-angle anchor)
+    pt_obs_uv: jnp.ndarray,  # (P,O,2)
+    pt_obs_f: jnp.ndarray,  # (P,O,3)
+    pt_obs_level: jnp.ndarray,  # (P,O)
+    kf_R: jnp.ndarray,  # (K,3,3) T_f_w
+    kf_t: jnp.ndarray,  # (K,3)
+    kf_pyr_stack: Sequence[jnp.ndarray],
+    cur_pyr: Sequence[jnp.ndarray],
+    R_cur: jnp.ndarray, t_cur: jnp.ndarray,  # T_f_w of current frame (prior)
+    fx, fy, cx, cy,
+    *,
+    cell_size: int = 25,
+    max_out: int = 192,
+    patch_size: int = 8,
+) -> ReprojResult:
+    lm, sel, ri = _select_points(
+        pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
+        pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
+        kf_R, kf_t, cur_pyr[0].shape, R_cur, t_cur, fx, fy, cx, cy,
+        cell_size=cell_size, max_out=max_out, patch_size=patch_size)
+    res = _refine(kf_pyr_stack, cur_pyr, ri, fx, fy, cx, cy,
+                  patch_size=patch_size)
+    return ReprojResult(
+        lm_idx=lm, selected=sel, uv=res.uv, level=res.level,
+        matched=res.ok & sel,
+        n_attempts=jnp.sum(sel).astype(jnp.int32),
+        n_matches=jnp.sum(res.ok & sel).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cell_size", "max_out", "patch_size"))
+def reproject_segments(
+    ln_spos, ln_epos, ln_status,
+    ln_anchor_kf, ln_anchor_suv, ln_anchor_euv, ln_anchor_sf, ln_anchor_ef,
+    ln_anchor_level,
+    kf_R, kf_t, kf_pyr_stack, cur_pyr,
+    R_cur, t_cur, fx, fy, cx, cy,
+    *,
+    cell_size: int = 25,
+    max_out: int = 96,
+    patch_size: int = 8,
+) -> ReprojSegResult:
+    lm, sel, ri_s, ri_e = _select_segments(
+        ln_spos, ln_epos, ln_status, ln_anchor_kf, ln_anchor_suv,
+        ln_anchor_euv, ln_anchor_sf, ln_anchor_ef, ln_anchor_level,
+        kf_R, kf_t, cur_pyr[0].shape, R_cur, t_cur, fx, fy, cx, cy,
+        cell_size=cell_size, max_out=max_out, patch_size=patch_size)
+    res_s = _refine(kf_pyr_stack, cur_pyr, ri_s, fx, fy, cx, cy,
+                    patch_size=patch_size)
+    res_e = _refine(kf_pyr_stack, cur_pyr, ri_e, fx, fy, cx, cy,
+                    patch_size=patch_size)
     both = res_s.ok & res_e.ok & sel
     return ReprojSegResult(
         lm_idx=lm, selected=sel, s_uv=res_s.uv, e_uv=res_e.uv,
         level=jnp.maximum(res_s.level, res_e.level), matched=both,
         n_attempts=jnp.sum(sel).astype(jnp.int32),
         n_matches=jnp.sum(both).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=(
+    "cell_size", "cell_size_segs", "max_pts_out", "max_segs_out",
+    "patch_size"))
+def reproject_combined(
+    pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
+    pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
+    ln_spos, ln_epos, ln_status,
+    ln_anchor_kf, ln_anchor_suv, ln_anchor_euv, ln_anchor_sf, ln_anchor_ef,
+    ln_anchor_level,
+    kf_R, kf_t, kf_pyr_stack, cur_pyr,
+    R_cur, t_cur, fx, fy, cx, cy,
+    *,
+    cell_size: int = 25,
+    cell_size_segs: int = 25,
+    max_pts_out: int = 192,
+    max_segs_out: int = 96,
+    patch_size: int = 8,
+):
+    """Points + both segment endpoints refined in ONE find_match_direct
+    batch (the pipeline hot path): three warp/align2d kernel chains fold
+    into one over M = max_pts_out + 2*max_segs_out rows."""
+    img_shape = cur_pyr[0].shape
+    lm_p, sel_p, ri_p = _select_points(
+        pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
+        pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
+        kf_R, kf_t, img_shape, R_cur, t_cur, fx, fy, cx, cy,
+        cell_size=cell_size, max_out=max_pts_out, patch_size=patch_size)
+    lm_s, sel_s, ri_s, ri_e = _select_segments(
+        ln_spos, ln_epos, ln_status, ln_anchor_kf, ln_anchor_suv,
+        ln_anchor_euv, ln_anchor_sf, ln_anchor_ef, ln_anchor_level,
+        kf_R, kf_t, img_shape, R_cur, t_cur, fx, fy, cx, cy,
+        cell_size=cell_size_segs, max_out=max_segs_out,
+        patch_size=patch_size)
+
+    ri = jax.tree.map(lambda *xs: jnp.concatenate(xs), ri_p, ri_s, ri_e)
+    res = _refine(kf_pyr_stack, cur_pyr, ri, fx, fy, cx, cy,
+                  patch_size=patch_size)
+    M, G = max_pts_out, max_segs_out
+    r_p = jax.tree.map(lambda a: a[:M], res)
+    r_s = jax.tree.map(lambda a: a[M:M + G], res)
+    r_e = jax.tree.map(lambda a: a[M + G:], res)
+
+    pt_res = ReprojResult(
+        lm_idx=lm_p, selected=sel_p, uv=r_p.uv, level=r_p.level,
+        matched=r_p.ok & sel_p,
+        n_attempts=jnp.sum(sel_p).astype(jnp.int32),
+        n_matches=jnp.sum(r_p.ok & sel_p).astype(jnp.int32))
+    both = r_s.ok & r_e.ok & sel_s
+    seg_res = ReprojSegResult(
+        lm_idx=lm_s, selected=sel_s, s_uv=r_s.uv, e_uv=r_e.uv,
+        level=jnp.maximum(r_s.level, r_e.level), matched=both,
+        n_attempts=jnp.sum(sel_s).astype(jnp.int32),
+        n_matches=jnp.sum(both).astype(jnp.int32))
+    return pt_res, seg_res
