@@ -135,9 +135,6 @@ def main():
         # the device queue (measured ~4x the vmapped batch's throughput on
         # one chip — see BatchedVO docstring; vmap+mesh is the multi-chip
         # path)
-        bvo = BatchedVO(cam, Config(pipeline=PipelineConfig(
-            pipelined=True, pipeline_depth=8)), B,
-            mode=os.environ.get("BENCH_BATCH_MODE", "streams"))
         # stagger the streams (sequence k starts k frames in, wrapping) so
         # keyframes desynchronize across the batch like real deployments —
         # identical streams make all B sequences pay the keyframe path in
@@ -145,17 +142,25 @@ def main():
         # 4x less tunnel upload bandwidth than f32
         imgs_h = [np.clip(np.round(np.asarray(im)), 0, 255).astype(np.uint8)
                   for im in imgs]
-        bt = []
-        for i in range(n_frames):
-            t0 = time.perf_counter()
-            bvo.add_images([imgs_h[max(0, i - k)] for k in range(B)],
-                           i / 30.0)
-            dt = time.perf_counter() - t0
-            all_def = all(s == "default" for s in bvo.stages)
-            bt.append((dt, all_def))
-            print(f"batched frame {i}: {dt*1000:.1f}ms "
-                  f"stages={set(bvo.stages)}", file=sys.stderr)
-        bvo.flush()
+        # TWO passes, same reason as the single-seq phase: staggered
+        # streams hit seed-width program variants the single-seq pass never
+        # compiled; pass 0 warms them (once ever, via the persistent
+        # cache), pass 1 is the timed run.
+        for _pass in range(2):
+            bvo = BatchedVO(cam, Config(pipeline=PipelineConfig(
+                pipelined=True, pipeline_depth=8)), B,
+                mode=os.environ.get("BENCH_BATCH_MODE", "streams"))
+            bt = []
+            for i in range(n_frames):
+                t0 = time.perf_counter()
+                bvo.add_images([imgs_h[max(0, i - k)] for k in range(B)],
+                               i / 30.0)
+                dt = time.perf_counter() - t0
+                all_def = all(s == "default" for s in bvo.stages)
+                bt.append((dt, all_def))
+                print(f"pass{_pass} batched frame {i}: {dt*1000:.1f}ms "
+                      f"stages={set(bvo.stages)}", file=sys.stderr)
+            bvo.flush()
         defaults = [dt for dt, ok in bt if ok]
         steady_b = (defaults[len(defaults) // 2:]
                     if len(defaults) > 6 else defaults)
