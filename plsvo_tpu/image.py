@@ -18,7 +18,7 @@ every patch of every feature — that is the whole point of the TPU design
 from __future__ import annotations
 
 from functools import partial
-from typing import List
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -250,6 +250,158 @@ def pack_pyramid_atlas(pyr):
     x_offsets = jnp.asarray(offs, jnp.int32)
     sizes = jnp.asarray(shapes, jnp.int32)
     return atlas, x_offsets, sizes
+
+
+class FlatAtlas(NamedTuple):
+    """Flattened multi-image pyramid atlas for per-feature-image gathers.
+
+    flat: (H0, K*Wa) — the K per-image atlases laid side by side (image
+    k's level-l pixel (u,v) lives at column k*Wa + x_off[l] + u). The
+    construction (pad + concat + transpose) runs once per keyframe change
+    (MapState cache), not inside every fused step. Deliberately NOT
+    pre-packed into 4-tap form: the 4x-bigger packed texture, held
+    persistently per sequence (and doubly while in-flight pipelined steps
+    pin the pre-keyframe version), exhausts HBM in multi-stream serving —
+    pack_bilinear stays a transient inside the consuming jit, where the
+    allocator reuses one buffer across steps."""
+
+    flat: jnp.ndarray  # (H0, K*Wa) f32
+    x_off: jnp.ndarray  # (L,) int32 level column offsets within one image
+    sizes: jnp.ndarray  # (L,2) int32 (h_l, w_l)
+    width: jnp.ndarray  # () float32 Wa — per-image column stride
+
+
+@jax.jit
+def _pack_flat_jit(pyr_stack):
+    atlas, x_off, sizes = pack_pyramid_atlas(pyr_stack)  # (K,H,Wa)
+    K, H, Wa = atlas.shape
+    flat = jnp.swapaxes(atlas, 0, 1).reshape(H, K * Wa)
+    return flat, x_off, sizes
+
+
+def pack_pyramid_atlas_flat(pyr_stack) -> FlatAtlas:
+    """Pack a (K,h_l,w_l) level list into a FlatAtlas (one fused dispatch)."""
+    flat, x_off, sizes = _pack_flat_jit(tuple(pyr_stack))
+    Wa = flat.shape[1] // pyr_stack[0].shape[0]
+    return FlatAtlas(flat=flat, x_off=x_off, sizes=sizes,
+                     width=jnp.asarray(float(Wa), jnp.float32))
+
+
+def ensure_flat_atlas(kf) -> FlatAtlas:
+    """Accept either a FlatAtlas (cached by the caller) or a raw list of
+    (K,h,w) pyramid level stacks (packed here, for tests/one-off calls)."""
+    if isinstance(kf, FlatAtlas):
+        return kf
+    return pack_pyramid_atlas_flat(kf)
+
+
+# ---------------------------------------------------------------------------
+# Patch windows: prefetch a (wp x wp) pixel window per feature ONCE, then
+# resample axis-aligned patches from the windows with pure elementwise math
+# (one-hot slice selection) — NO per-iteration gather. Measured on v5e: a
+# global 8x8 patch gather costs ~213 us per GN iteration at N=384; in-window
+# resampling is below measurement noise. This is what makes the align2d /
+# sparse-align while_loops cheap: the gather happens once, the 10-30
+# iterations are free. The price is a bounded drift budget: once a feature
+# moves further than the window margin from its prefetch center it stops
+# being sampled (masked invalid) — equivalent to the reference's patches
+# leaving the image, and rare at VO convergence scales.
+# ---------------------------------------------------------------------------
+
+
+def gather_patch_windows(img, uv_center, wp: int):
+    """Prefetch (N, wp, wp) raw-intensity windows centered at uv_center.
+
+    img: (H, W) image. wp must be even. Returns (win, corner) with corner
+    (N,2) float32 absolute (u,v) of win[:,0,0]. Gathers wp^2/4 packed-tap
+    2x2 blocks per feature (contiguous 4-vectors, ~3.6x cheaper than
+    per-pixel gathers). The image is zero-padded internally so windows
+    crossing the border contain zeros (callers mask validity
+    arithmetically; padding prevents clamp-induced misalignment)."""
+    H, W = img.shape
+    pad = wp
+    padded = jnp.pad(img, ((pad, pad), (pad, pad)))
+    packed = pack_bilinear(padded)
+    corner = jnp.floor(uv_center - (wp / 2.0 - 1.0))  # (N,2) float (u,v)
+    ci = corner.astype(jnp.int32) + pad
+    nb = wp // 2
+    bj = jnp.arange(nb, dtype=jnp.int32) * 2
+    gu = ci[:, 0:1] + bj[None]  # (N,nb)
+    gv = ci[:, 1:2] + bj[None]
+    blocks = packed[gv[:, :, None], gu[:, None, :]]  # (N,nb,nb,4)
+    N = blocks.shape[0]
+    win = (blocks.reshape(N, nb, nb, 2, 2)
+           .transpose(0, 1, 3, 2, 4).reshape(N, wp, wp))
+    return win, corner
+
+
+def gather_patch_windows_atlas(atlas, x_offsets, uv_center, level, wp: int):
+    """gather_patch_windows through a pyramid atlas: uv_center is in each
+    feature's OWN level coords; the gather adds x_offsets[level]. corner is
+    returned in level coords. The atlas is zero-padded internally; level
+    bounds are the caller's to enforce (sample_patch_windows wh arg)."""
+    H, Wt = atlas.shape[-2:]
+    pad = wp
+    padded = jnp.pad(atlas, ((pad, pad), (pad, pad)))
+    packed = pack_bilinear(padded)
+    corner = jnp.floor(uv_center - (wp / 2.0 - 1.0))
+    ci = corner.astype(jnp.int32)
+    cu = ci[:, 0] + x_offsets[level] + pad
+    cv = ci[:, 1] + pad
+    nb = wp // 2
+    bj = jnp.arange(nb, dtype=jnp.int32) * 2
+    gu = cu[:, None] + bj[None]
+    gv = cv[:, None] + bj[None]
+    blocks = packed[gv[:, :, None], gu[:, None, :]]
+    N = blocks.shape[0]
+    win = (blocks.reshape(N, nb, nb, 2, 2)
+           .transpose(0, 1, 3, 2, 4).reshape(N, wp, wp))
+    return win, corner
+
+
+def sample_patch_windows(win, corner, uv, patch_size: int, wh=None):
+    """Bilinear (patch_size x patch_size) patches from prefetched windows.
+
+    win: (N, wp, wp); corner: (N,2) from gather_patch_windows*; uv: (N,2)
+    subpixel centers in the SAME coordinate frame as the prefetch centers.
+    wh: optional (w, h) per-feature image/level bounds, each (N,) — when
+    given, validity also requires full bilinear support inside [0,w)x[0,h).
+    Returns (vals (N, P*P) in patch_offsets order, ok (N,)).
+
+    All patch taps share one fractional offset, so the resample is a
+    separable one-hot slice selection + lerp: zero gathers, pure VPU."""
+    N, wp, _ = win.shape
+    P = patch_size
+    S = wp - P
+    f32 = jnp.float32
+    first = uv - (P / 2.0 - 0.5)  # absolute position of tap (0,0)
+    t0 = first - corner
+    i0 = jnp.floor(t0)
+    f = (t0 - i0).astype(f32)
+    iu = i0[:, 0]
+    iv = i0[:, 1]
+    in_win = (iu >= 0) & (iv >= 0) & (iu <= S - 1) & (iv <= S - 1)
+    iuc = jnp.clip(iu, 0, S - 1)
+    ivc = jnp.clip(iv, 0, S - 1)
+    shifts = jnp.arange(S, dtype=f32)
+    oh_v = (shifts[:, None] == ivc[None, :]).astype(f32)  # (S,N)
+    cand_v = jnp.stack([win[:, s:s + P + 1, :] for s in range(S)])  # (S,N,P+1,wp)
+    sel_v = jnp.sum(oh_v[:, :, None, None] * cand_v, axis=0)  # (N,P+1,wp)
+    fv = f[:, 1][:, None, None]
+    rows = (1 - fv) * sel_v[:, :P, :] + fv * sel_v[:, 1:, :]  # (N,P,wp)
+    cand_u = jnp.stack([rows[:, :, s:s + P + 1] for s in range(S)])
+    oh_u = (shifts[:, None] == iuc[None, :]).astype(f32)
+    sel_u = jnp.sum(oh_u[:, :, None, None] * cand_u, axis=0)  # (N,P,P+1)
+    fu = f[:, 0][:, None, None]
+    patch = (1 - fu) * sel_u[:, :, :P] + fu * sel_u[:, :, 1:]  # (N,P,P) [v,u]
+    ok = in_win
+    if wh is not None:
+        w, h = wh
+        au0 = jnp.floor(first[:, 0])
+        av0 = jnp.floor(first[:, 1])
+        ok = ok & (au0 >= 0) & (av0 >= 0) \
+            & (au0 + P <= w - 1) & (av0 + P <= h - 1)
+    return patch.reshape(N, P * P), ok
 
 
 def bilinear_sample_atlas(atlas, x_offsets, sizes, uv_level, level):

@@ -222,12 +222,12 @@ def update_point_seeds(
     A_ok = jnp.abs(detA) > 1e-6
     A_inv = jnp.linalg.inv(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
     slevel = matcher_ops.best_search_level(A, len(cur_pyr) - 1)
-    from plsvo_tpu.image import pack_pyramid_atlas
+    from plsvo_tpu.image import ensure_flat_atlas, pack_pyramid_atlas
 
-    kf_atlas, kx, ks = pack_pyramid_atlas(kf_pyr_stack)
+    kf_flat = ensure_flat_atlas(kf_pyr_stack)
     cur_atlas, cxo, cso = pack_pyramid_atlas(cur_pyr)
     patches_b, warp_ok = matcher_ops.warp_patches_affine_atlas(
-        kf_atlas, kx, ks, seeds.kf_idx, seeds.uv, seeds.level, A_inv, slevel,
+        kf_flat, seeds.kf_idx, seeds.uv, seeds.level, A_inv, slevel,
         patch_size=patch_size)
     ref_patch, ref_dx, ref_dy = ref_patch_gradients(patches_b, patch_size)
 

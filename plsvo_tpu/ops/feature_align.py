@@ -172,18 +172,30 @@ def align2d_atlas(
     n_iter: int = 10,
     conv_eps: float = 0.03,
 ) -> AlignOut:
-    """align2d with per-feature pyramid levels resolved through the atlas —
-    one gather pass instead of evaluating every level and masking."""
-    from plsvo_tpu.image import bilinear_sample_atlas
+    """align2d with per-feature pyramid levels resolved through the atlas.
+
+    The current-frame patch is resampled from a per-feature prefetched
+    window (image.gather_patch_windows_atlas): ONE gather before the loop,
+    every GN iteration is gather-free (image.sample_patch_windows). A
+    feature drifting further than the window margin from its initial
+    position is masked invalid — same outcome as the reference when a
+    patch leaves the image (feature_alignment.cpp boundary checks), and
+    beyond the convergence basin of an 8x8 patch anyway."""
+    from plsvo_tpu.image import (gather_patch_windows_atlas,
+                                 sample_patch_windows)
 
     N, P = ref_patch.shape
     f32 = jnp.float32
-    offs = patch_offsets(patch_size, f32)
+    margin = 4
+    wp = patch_size + 1 + 2 * margin
+    wp += wp % 2
     ones = jnp.ones_like(ref_dx)
     J = jnp.stack([ref_dx, ref_dy, ones], axis=-1)
     H = jnp.einsum("npi,npj->nij", J, J)
     Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(3, dtype=f32))
-    lvl_b = level[:, None]
+    win, corner = gather_patch_windows_atlas(
+        atlas, x_off, uv_init.astype(f32), level, wp)
+    wh = (sizes[level, 1].astype(f32), sizes[level, 0].astype(f32))
 
     def cond(carry):
         it, uv, mean_diff, conv, active_any = carry
@@ -191,9 +203,8 @@ def align2d_atlas(
 
     def body(carry):
         it, uv, mean_diff, conv, _ = carry
-        pos = uv[:, None, :] + offs[None]
-        I_cur, ok = bilinear_sample_atlas(atlas, x_off, sizes, pos, lvl_b)
-        in_frame = jnp.all(ok, axis=-1)
+        I_cur, in_frame = sample_patch_windows(win, corner, uv, patch_size,
+                                               wh=wh)
         r = I_cur - ref_patch + mean_diff[:, None]
         b = jnp.einsum("npi,np->ni", J, r)
         upd = jnp.einsum("nij,nj->ni", Hinv, b)
@@ -207,6 +218,5 @@ def align2d_atlas(
     init = (jnp.zeros((), jnp.int32), uv_init.astype(f32),
             jnp.zeros((N,), f32), jnp.zeros((N,), bool), jnp.asarray(True))
     _, uv, md, conv, _ = jax.lax.while_loop(cond, body, init)
-    pos = uv[:, None, :] + offs[None]
-    _, ok = bilinear_sample_atlas(atlas, x_off, sizes, pos, lvl_b)
-    return AlignOut(uv=uv, converged=conv & valid & jnp.all(ok, axis=-1), mean_diff=md)
+    _, ok = sample_patch_windows(win, corner, uv, patch_size, wh=wh)
+    return AlignOut(uv=uv, converged=conv & valid & ok, mean_diff=md)

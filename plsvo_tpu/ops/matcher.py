@@ -276,8 +276,7 @@ from plsvo_tpu.ops.feature_align import align2d_atlas  # noqa: E402
 
 @partial(jax.jit, static_argnames=("patch_size",))
 def warp_patches_affine_atlas(
-    kf_atlas: jnp.ndarray,  # (K, H, Wa)
-    x_off: jnp.ndarray, sizes: jnp.ndarray,
+    kf_flat,  # image.FlatAtlas — pre-packed keyframe pyramid super-atlas
     kf_idx: jnp.ndarray,  # (N,)
     uv_ref: jnp.ndarray,  # (N,2) level-0 anchor px
     level_ref: jnp.ndarray,  # (N,)
@@ -285,7 +284,10 @@ def warp_patches_affine_atlas(
     search_level: jnp.ndarray,  # (N,)
     patch_size: int = 8,
 ):
-    """warp_patches_affine through each feature's own keyframe atlas."""
+    """warp_patches_affine through each feature's own keyframe atlas.
+
+    kf_flat is the flat-packed super-atlas (image.pack_pyramid_atlas_flat)
+    — built once per keyframe change (MapState cache), not per frame."""
     B = patch_size + 2
     half = B / 2.0
     r = jnp.arange(B, dtype=jnp.float32) - half + 0.5
@@ -299,18 +301,15 @@ def warp_patches_affine_atlas(
     scale_ref = 1.0 / (1 << level_ref).astype(jnp.float32)
     pos = uv_ref[:, None, :] * scale_ref[:, None, None] + offs_ref  # (N,BB,2)
 
-    # flatten the keyframe axis into the atlas x-axis (super-atlas): avoids
-    # materializing a per-feature (N,H,Wa) gather of whole atlases
-    K, H, Wa = kf_atlas.shape
-    flat = jnp.swapaxes(kf_atlas, 0, 1).reshape(H, K * Wa)
     lvl = level_ref[:, None]
-    h = sizes[lvl, 0].astype(jnp.float32)
-    w = sizes[lvl, 1].astype(jnp.float32)
+    h = kf_flat.sizes[lvl, 0].astype(jnp.float32)
+    w = kf_flat.sizes[lvl, 1].astype(jnp.float32)
     u = pos[..., 0]
     v = pos[..., 1]
     in_level = (u >= 0) & (v >= 0) & (u <= w - 1) & (v <= h - 1)
-    ua = u + x_off[lvl].astype(jnp.float32) + (kf_idx[:, None] * Wa).astype(jnp.float32)
-    vals, ok = bilinear_sample(flat, jnp.stack([ua, v], -1))
+    ua = (u + kf_flat.x_off[lvl].astype(jnp.float32)
+          + kf_idx[:, None].astype(jnp.float32) * kf_flat.width)
+    vals, ok = bilinear_sample(kf_flat.flat, jnp.stack([ua, v], -1))
     vals = jnp.where(in_level, vals, 0.0)
     return vals, jnp.all(in_level & ok, axis=-1)
 
@@ -360,7 +359,7 @@ def epipolar_search_zmssd_atlas(
 
 @partial(jax.jit, static_argnames=("patch_size", "n_iter", "max_level"))
 def find_match_direct_atlas(
-    kf_atlas: jnp.ndarray, kf_x_off: jnp.ndarray, kf_sizes: jnp.ndarray,
+    kf_flat,  # image.FlatAtlas of the keyframe pyramids
     cur_atlas: jnp.ndarray, cur_x_off: jnp.ndarray, cur_sizes: jnp.ndarray,
     kf_idx: jnp.ndarray,
     uv_ref: jnp.ndarray, f_ref: jnp.ndarray, depth_ref: jnp.ndarray,
@@ -386,7 +385,7 @@ def find_match_direct_atlas(
     slevel = best_search_level(A, max_level)
 
     patches_b, warp_ok = warp_patches_affine_atlas(
-        kf_atlas, kf_x_off, kf_sizes, kf_idx, uv_ref, level_ref, A_inv,
+        kf_flat, kf_idx, uv_ref, level_ref, A_inv,
         slevel, patch_size=patch_size)
     ref_patch, ref_dx, ref_dy = ref_patch_gradients(patches_b, patch_size)
 

@@ -189,6 +189,20 @@ def sparse_img_align(
             + dy_sg[..., None] * Jseg_frame[:, :, None, 1, :]
         ) * focal_scale  # (M,K,P,6)
 
+        # ---- per-level window prefetch: ONE gather at the level-start
+        # projections; every GN iteration resamples gather-free from the
+        # windows (margin 3 level-px of pose-induced drift — beyond it a
+        # unit is masked out for that iteration, like leaving the image) ----
+        from plsvo_tpu.image import (gather_patch_windows,
+                                     sample_patch_windows)
+
+        wp_win = patch_size + 1 + 2 * 3
+        wp_win += wp_win % 2
+        _, uv0_all = _warp_project(R, t, xyz_all, fx, fy, cx, cy, scale)
+        win_all, corner_all = gather_patch_windows(cur_img, uv0_all, wp_win)
+        wh_lvl = (jnp.full(uv0_all.shape[0], cur_img.shape[1], f32),
+                  jnp.full(uv0_all.shape[0], cur_img.shape[0], f32))
+
         def cond(carry):
             it, stop, *_ = carry
             return (it < n_iter) & jnp.logical_not(stop)
@@ -196,11 +210,10 @@ def sparse_img_align(
         def body(carry):
             it, stop, R, t, R_prev, t_prev, chi2_prev, alive = carry
 
-            from plsvo_tpu.image import extract_patches
-
-            # ---- one warp + gather for points and line samples ----
+            # ---- one warp + window resample for points and line samples ----
             _, uv_cur_all = _warp_project(R, t, xyz_all, fx, fy, cx, cy, scale)
-            I_cur_all, in_all = extract_patches(cur_img, uv_cur_all, patch_size)
+            I_cur_all, in_all = sample_patch_windows(
+                win_all, corner_all, uv_cur_all, patch_size, wh=wh_lvl)
 
             # ---- points ----
             I_cur_pt, in_pt = I_cur_all[:N], in_all[:N]

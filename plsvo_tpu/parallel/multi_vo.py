@@ -185,7 +185,7 @@ class BatchedVO:
             vo = self.vos[i]
             pl = vo.cfg.pipeline
             inputs.append((
-                vo.last_frame.pyr, pyrs[k], vo.map.kf_pyr[: pl.n_pyr_levels],
+                vo.last_frame.pyr, pyrs[k], vo.map.kf_atlas_flat(pl.n_pyr_levels),
                 vo._last_blob(vo.last_frame), vo._map_tables(),
                 jnp.asarray(vo.batch_counter, jnp.int32)))
 
@@ -271,7 +271,7 @@ class BatchedVO:
                     pl = vo.cfg.pipeline
                     inputs.append((
                         vo.last_frame.pyr, pyrs[k],
-                        vo.map.kf_pyr[: pl.n_pyr_levels],
+                        vo.map.kf_atlas_flat(pl.n_pyr_levels),
                         vo._last_blob(vo.last_frame), vo._map_tables(),
                         jnp.asarray(vo.batch_counter, jnp.int32)))
                     fids.append(np.int32(vo.frame_id))
@@ -289,7 +289,7 @@ class BatchedVO:
                     pl = vo.cfg.pipeline
                     inputs.append((
                         vo.last_frame.pyr, pyrs[k],
-                        vo.map.kf_pyr[: pl.n_pyr_levels], vo._map_tables(),
+                        vo.map.kf_atlas_flat(pl.n_pyr_levels), vo._map_tables(),
                         jnp.asarray(vo.batch_counter, jnp.int32),
                         jnp.asarray(vo.frame_id, jnp.int32)))
                 step_b = fused.track_frame_step_tables_list(

@@ -442,7 +442,7 @@ class FrameHandlerMono:
         last = self.last_frame
         pl = self.cfg.pipeline
         return (
-            last.pyr, pyr, self.map.kf_pyr[: pl.n_pyr_levels],
+            last.pyr, pyr, self.map.kf_atlas_flat(pl.n_pyr_levels),
             self._last_blob(last), self._map_tables(),
             self.pt_seeds, self.ln_seeds,
             jnp.asarray(self.batch_counter, jnp.int32),
@@ -485,7 +485,7 @@ class FrameHandlerMono:
                                  self.last_frame.t_f_w.copy())
         kwargs = self._step_kwargs()
         pl = self.cfg.pipeline
-        common = (self.map.kf_pyr[: pl.n_pyr_levels],)
+        common = (self.map.kf_atlas_flat(pl.n_pyr_levels),)
         fid = jnp.asarray(self.frame_id, jnp.int32)
         with self.permon.timer("sparse_img_align"):
             if not self._pipe_q:

@@ -510,7 +510,12 @@ def _track_frame_step_impl(
     t_w_kf = -jnp.einsum("kji,kj->ki", mt.kf_R, mt.kf_t)
     R_w_cur = res.R_f_w.T
     t_w_cur = -res.R_f_w.T @ res.t_f_w
-    seed_pyrs = (kf_pyr[:n_pyr_seed], cur_pyr[:n_pyr_seed])
+    from plsvo_tpu.image import FlatAtlas
+
+    # kf_pyr is either a pre-packed FlatAtlas (hot path: MapState cache,
+    # already built for the seed levels) or a raw level list (tests)
+    kf_seed = kf_pyr if isinstance(kf_pyr, FlatAtlas) else kf_pyr[:n_pyr_seed]
+    seed_pyrs = (kf_seed, cur_pyr[:n_pyr_seed])
     skw = dict(max_seed_kfs=max_seed_kfs,
                sigma_conv_factor=sigma_conv_factor,
                max_search=seed_search_budget)

@@ -28,7 +28,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from plsvo_tpu.image import pack_pyramid_atlas
+from plsvo_tpu.image import ensure_flat_atlas, pack_pyramid_atlas
 from plsvo_tpu.ops import matcher as matcher_ops
 from plsvo_tpu.ops.detection import grid_cells
 
@@ -223,10 +223,10 @@ def _select_segments(
 
 def _refine(kf_pyr_stack, cur_pyr, ri: RefineInputs, fx, fy, cx, cy,
             *, patch_size):
-    kf_atlas, kx, ks = pack_pyramid_atlas(kf_pyr_stack)
+    kf_flat = ensure_flat_atlas(kf_pyr_stack)
     cur_atlas, cx_, cs = pack_pyramid_atlas(cur_pyr)
     return matcher_ops.find_match_direct_atlas(
-        kf_atlas, kx, ks, cur_atlas, cx_, cs,
+        kf_flat, cur_atlas, cx_, cs,
         ri.kf_idx, ri.uv_ref, ri.f_ref, ri.depth_ref, ri.level_ref,
         ri.R_ca, ri.t_ca, ri.uv_init, ri.valid,
         fx, fy, cx, cy, patch_size=patch_size, max_level=len(cur_pyr) - 1)

@@ -162,6 +162,18 @@ class MapState:
             self._dev[name] = jnp.asarray(getattr(self, name))
         return self._dev[name]
 
+    def kf_atlas_flat(self, n_levels: int):
+        """Flat-packed keyframe pyramid super-atlas (image.FlatAtlas),
+        cached until the next keyframe install/removal — packing costs
+        hundreds of MB of HBM traffic, so doing it once per keyframe change
+        instead of inside every fused frame step saves ~1-2 ms/frame."""
+        key = f"_kf_atlas_flat_{n_levels}"
+        if key not in self._dev:
+            from plsvo_tpu.image import pack_pyramid_atlas_flat
+
+            self._dev[key] = pack_pyramid_atlas_flat(self.kf_pyr[:n_levels])
+        return self._dev[key]
+
     def invalidate(self, *names: str):
         if not names:
             self._dev.clear()
