@@ -40,6 +40,13 @@ class PipelineConfig:
     # regardless of payload, so fetching every K frames amortizes it K-fold
     # (results then arrive in bursts of K, map updates lag up to K frames).
     pipeline_depth: int = 1
+    # burst execution (requires pipelined): K consecutive DEFAULT frames
+    # run as ONE device program (lax.scan chaining the full frame step,
+    # fused.track_frames_burst) — one image upload, one dispatch and one
+    # fetch per K frames instead of per frame. Results arrive up to 2K
+    # frames late; map updates lag up to 2K frames (two bursts in flight).
+    # 0 = off (per-frame pipelined dispatch).
+    burst_k: int = 0
 
     # pyramid
     n_pyr_levels: int = 3

@@ -107,13 +107,16 @@ def detect_fast_grid(
     H, W = pyramid[0].shape
     nx, ny, n_cells = grid_cells(W, H, cell_size)
 
-    best_score = jnp.full((n_cells,), -jnp.inf, jnp.float32)
-    best_u = jnp.zeros((n_cells,), jnp.float32)
-    best_v = jnp.zeros((n_cells,), jnp.float32)
-    best_level = jnp.zeros((n_cells,), jnp.int32)
-
     from plsvo_tpu.ops.pallas_fast import fast_score
 
+    # Scatter-free per-level candidate extraction: a dense segment_max over
+    # h*w pixels costs milliseconds on TPU (scatter unit); instead reduce
+    # per HALF-CELL TILE with pure reshapes (max + winner-index min), then
+    # run the tiny cross-level per-cell dedup over the ~4*n_cells tile
+    # winners. Half-cell tiles keep the loss mode rare (a corner is only
+    # shadowed when a stronger one shares its half-tile but belongs to a
+    # neighbouring cell).
+    cand_u, cand_v, cand_s, cand_l = [], [], [], []
     for level, img in enumerate(pyramid):
         h, w = img.shape
         scale = float(1 << level)
@@ -121,38 +124,49 @@ def detect_fast_grid(
         corner, score = fast_score(img, fast_threshold)
         masked = jnp.where(corner, score, -jnp.inf)
         keep = _nonmax_3x3(masked) & corner & (score > score_threshold)
-        flat_score = jnp.where(keep, score, -jnp.inf).ravel()
+        s = jnp.where(keep, score, -jnp.inf)
 
-        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        # level-0 coordinates of this level's pixel centers
-        u0 = (xx.astype(jnp.float32)) * scale
-        v0 = (yy.astype(jnp.float32)) * scale
-        cell = (
-            jnp.clip((v0 / cell_size).astype(jnp.int32), 0, ny - 1) * nx
-            + jnp.clip((u0 / cell_size).astype(jnp.int32), 0, nx - 1)
-        ).ravel()
+        T = max(2, int(round(cell_size / (1 << level) / 4)))
+        hy = -(-h // T)
+        wx = -(-w // T)
+        sp = jnp.pad(s, ((0, hy * T - h), (0, wx * T - w)),
+                     constant_values=-jnp.inf)
+        tiles = sp.reshape(hy, T, wx, T)
+        tmax = tiles.max(axis=(1, 3))  # (hy, wx)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (hy * T, wx * T), 0) \
+            * (wx * T) \
+            + jax.lax.broadcasted_iota(jnp.int32, (hy * T, wx * T), 1)
+        idx_t = idx.reshape(hy, T, wx, T)
+        is_w = tiles == tmax[:, None, :, None]
+        widx = jnp.where(is_w & jnp.isfinite(tiles), idx_t,
+                         jnp.iinfo(jnp.int32).max).min(axis=(1, 3))
+        has = jnp.isfinite(tmax)
+        wi = jnp.where(has, widx, 0)
+        u0 = (wi % (wx * T)).astype(jnp.float32) * scale
+        v0 = (wi // (wx * T)).astype(jnp.float32) * scale
+        cand_u.append(u0.ravel())
+        cand_v.append(v0.ravel())
+        cand_s.append(jnp.where(has, tmax, -jnp.inf).ravel())
+        cand_l.append(jnp.full(hy * wx, level, jnp.int32))
 
-        cell_max = jax.ops.segment_max(
-            flat_score, cell, num_segments=n_cells, indices_are_sorted=False
-        )
-        # winner index per cell: smallest flat index achieving the max
-        pix_idx = jnp.arange(h * w, dtype=jnp.int32)
-        is_winner = (flat_score == cell_max[cell]) & jnp.isfinite(flat_score)
-        win_idx = jax.ops.segment_min(
-            jnp.where(is_winner, pix_idx, jnp.iinfo(jnp.int32).max),
-            cell,
-            num_segments=n_cells,
-        )
-        has = win_idx < jnp.iinfo(jnp.int32).max
-        wi = jnp.where(has, win_idx, 0)
-        u0w = u0.ravel()[wi]
-        v0w = v0.ravel()[wi]
-        better = has & (cell_max > best_score)
-        best_u = jnp.where(better, u0w, best_u)
-        best_v = jnp.where(better, v0w, best_v)
-        best_level = jnp.where(better, level, best_level)
-        best_score = jnp.where(better, cell_max, best_score)
+    cu = jnp.concatenate(cand_u)
+    cv = jnp.concatenate(cand_v)
+    cs = jnp.concatenate(cand_s)
+    cl = jnp.concatenate(cand_l)
+    cell = (jnp.clip((cv / cell_size).astype(jnp.int32), 0, ny - 1) * nx
+            + jnp.clip((cu / cell_size).astype(jnp.int32), 0, nx - 1))
+    cell_max = jax.ops.segment_max(cs, cell, num_segments=n_cells)
+    ci = jnp.arange(cu.shape[0], dtype=jnp.int32)
+    is_winner = (cs == cell_max[cell]) & jnp.isfinite(cs)
+    win = jax.ops.segment_min(
+        jnp.where(is_winner, ci, jnp.iinfo(jnp.int32).max), cell,
+        num_segments=n_cells)
+    has_c = win < jnp.iinfo(jnp.int32).max
+    wc = jnp.where(has_c, win, 0)
+    best_u = cu[wc]
+    best_v = cv[wc]
+    best_level = cl[wc]
+    best_score = jnp.where(has_c, cell_max, -jnp.inf)
 
     valid = jnp.isfinite(best_score) & (best_score > score_threshold)
     if occupied is not None:

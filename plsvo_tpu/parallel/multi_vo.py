@@ -198,9 +198,11 @@ class BatchedVO:
         self._pt_stack = step_b.pt_seeds
         self._ln_stack = step_b.ln_seeds
 
-        # ONE fetch: every sequence's results + seed convergence
-        res_f, pt_conv_b, ln_conv_b = jax.device_get(
+        # ONE flat transfer: every sequence's results + seed convergence
+        flat, meta = fused.flatpack(
             (step_b.fused, step_b.pt_conv, step_b.ln_conv))
+        res_f, pt_conv_b, ln_conv_b = fused.flatunpack(
+            jax.device_get(flat), meta)
 
         for k, i in enumerate(default_idx):
             vo = self.vos[i]
@@ -329,9 +331,10 @@ class BatchedVO:
             for ent in vo._pending_seed_init:
                 pend.append((i, ent))
             vo._pending_seed_init = []
-        got, init_got = jax.device_get((
+        flat, meta = fused.flatpack((
             [(s.fused, s.pt_conv, s.ln_conv) for _, _, s in take],
             [h for (_, (_, _, _, h)) in pend]))
+        got, init_got = fused.flatunpack(jax.device_get(flat), meta)
         for (i, (kf_slot, dm, dmin, _)), fetched in zip(pend, init_got):
             vo = self.vos[i]
             if self._seeds_idx is not None and i in self._seeds_idx:
