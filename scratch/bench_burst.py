@@ -21,19 +21,29 @@ cam = PinholeCamera.create(W, H, 460.0, 460.0, W / 2, H / 2)
 imgs = np.load("/root/repo/.bench_frames.npz")["imgs"]
 imgs_u8 = [np.clip(np.round(im), 0, 255).astype(np.uint8) for im in imgs]
 
-cfg = Config(pipeline=PipelineConfig(pipelined=True, pipeline_depth=12,
-                                     burst_k=K))
+def run(cfg, name):
+    for p in range(2):
+        vo = FrameHandlerMono(cam, cfg)
+        ts = []
+        for i, im in enumerate(imgs_u8):
+            t0 = time.perf_counter()
+            vo.add_image(im, i / 30.0)
+            ts.append(time.perf_counter() - t0)
+        vo.flush()
+        n_def = sum(1 for r in vo.results if r.stage == "default")
+        steady = ts[len(ts) // 2:]
+        print(f"pass{p} {name}: mean {np.mean(steady)*1e3:.1f} ms/frame "
+              f"({1/np.mean(steady):.1f} fps) defaults={n_def} "
+              f"relocs={vo.n_relocalizations}", flush=True)
 
-for p in range(2):
-    vo = FrameHandlerMono(cam, cfg)
-    ts = []
-    for i, im in enumerate(imgs_u8):
-        t0 = time.perf_counter()
-        vo.add_image(im, i / 30.0)
-        ts.append(time.perf_counter() - t0)
-    vo.flush()
-    n_def = sum(1 for r in vo.results if r.stage == "default")
-    steady = ts[len(ts) // 2:]
-    print(f"pass{p} burst K={K}: mean {np.mean(steady)*1e3:.1f} ms/frame "
-          f"({1/np.mean(steady):.1f} fps) defaults={n_def} "
-          f"relocs={vo.n_relocalizations}")
+
+import jax.numpy as jnp
+mode = sys.argv[2] if len(sys.argv) > 2 else "u8"
+if mode == "dev":
+    staged = jnp.asarray(imgs.astype(np.float32))
+    staged.block_until_ready()
+    imgs_u8 = [staged[i] for i in range(len(imgs))]
+run(Config(pipeline=PipelineConfig(pipelined=True, pipeline_depth=12)),
+    f"pipelined d12 ({mode})")
+run(Config(pipeline=PipelineConfig(pipelined=True, pipeline_depth=12,
+                                   burst_k=K)), f"burst K={K} ({mode})")
