@@ -304,7 +304,9 @@ class BatchedVO:
             for k, i in enumerate(default_idx):
                 self.vos[i].last_frame = frames[k]
                 self.vos[i].frame_id += 1
-            self._bq.append((tuple(default_idx), frames, step_b))
+            flat, meta = fused.flatpack_async(
+                (step_b.fused, step_b.pt_conv, step_b.ln_conv))
+            self._bq.append((tuple(default_idx), frames, step_b, flat, meta))
             if len(self._bq) > self.depth:
                 self._drain_batched(keep=1)
 
@@ -331,10 +333,11 @@ class BatchedVO:
             for ent in vo._pending_seed_init:
                 pend.append((i, ent))
             vo._pending_seed_init = []
-        flat, meta = fused.flatpack((
-            [(s.fused, s.pt_conv, s.ln_conv) for _, _, s in take],
-            [h for (_, (_, _, _, h)) in pend]))
-        got, init_got = fused.flatunpack(jax.device_get(flat), meta)
+        # transfers started at dispatch time (flatpack_async)
+        got = [fused.flatunpack(fused.fetch(flat), meta)
+               for (_, _, _, flat, meta) in take]
+        init_got = [fused.flatunpack(fused.fetch(flat), meta)
+                    for (_, (_, _, _, (flat, meta))) in pend]
         for (i, (kf_slot, dm, dmin, _)), fetched in zip(pend, init_got):
             vo = self.vos[i]
             if self._seeds_idx is not None and i in self._seeds_idx:
@@ -345,7 +348,7 @@ class BatchedVO:
                     self._remove_seed_hooks(vo)
             else:
                 vo._complete_seed_init(kf_slot, dm, dmin, *fetched)
-        for (didx, frames, _), (res_f, ptc_b, lnc_b) in zip(take, got):
+        for (didx, frames, _, _, _), (res_f, ptc_b, lnc_b) in zip(take, got):
             rs = [None] * len(self.vos)
             for k, i in enumerate(didx):
                 vo = self.vos[i]
@@ -358,7 +361,7 @@ class BatchedVO:
         if newest is not None:
             # _post_fused pointed last_frame at each finalized frame; the
             # newest dispatched frame stays the alignment reference
-            didx, frames, _ = newest
+            didx, frames = newest[0], newest[1]
             for k, i in enumerate(didx):
                 if self.vos[i].stage == STAGE_DEFAULT:
                     self.vos[i].last_frame = frames[k]

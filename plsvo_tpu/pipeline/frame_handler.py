@@ -529,7 +529,7 @@ class FrameHandlerMono:
                     self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                     emit_next=True, frame_id=fid, **kwargs)
             else:
-                prev_frame, prev_step = self._pipe_q[-1]
+                prev_frame, prev_step = self._pipe_q[-1][:2]
                 kw_t = {k: v for k, v in kwargs.items() if k != "specs"}
                 step = fused.track_frame_step_tables(
                     prev_frame.pyr, pyr, *common,
@@ -540,12 +540,17 @@ class FrameHandlerMono:
                     frame_id=fid, **kw_t)
         self.pt_seeds = step.pt_seeds
         self.ln_seeds = step.ln_seeds
-        self._pipe_q.append((frame, step))
+        # pack + start the device->host copy NOW: by drain time the bytes
+        # have arrived and the fetch is a local memcpy (fused.flatpack_async)
+        flat, meta = fused.flatpack_async(
+            (step.fused, step.pt_conv, step.ln_conv))
+        self._pipe_q.append((frame, step, flat, meta))
         self.last_frame = frame
 
         depth = max(1, pl.pipeline_depth)
         if len(self._pipe_q) > depth:
-            # burst-fetch all but the newest in-flight frame (ONE sync)
+            # fetch all but the newest in-flight frame (transfers already
+            # overlapped with compute)
             self._drain_pipeline(keep=1)
         return self._ready.pop(0) if self._ready else None
 
@@ -561,15 +566,15 @@ class FrameHandlerMono:
         pending_init = self._pending_seed_init
         self._pending_seed_init = []
         with self.permon.timer("reproject"):
-            # ONE flat transfer for the whole burst (device_get per leaf
-            # costs ~0.9 ms of tunnel round-trip each)
-            flat, meta = fused.flatpack((
-                [(s.fused, s.pt_conv, s.ln_conv) for _, s in take],
-                [h for (_, _, _, h) in pending_init]))
-            got, init_got = fused.flatunpack(jax.device_get(flat), meta)
+            # per-frame transfers were started at dispatch time
+            # (flatpack_async); device_get here waits only on the tail
+            got = [fused.flatunpack(fused.fetch(flat), meta)
+                   for (_, _, flat, meta) in take]
+            init_got = [fused.flatunpack(fused.fetch(flat), meta)
+                        for (_, _, _, (flat, meta)) in pending_init]
         for (kf_slot, dm, dmin, _), fetched in zip(pending_init, init_got):
             self._complete_seed_init(kf_slot, dm, dmin, *fetched)
-        for (frame, _), (res, pt_c, ln_c) in zip(take, got):
+        for (frame, _, _, _), (res, pt_c, ln_c) in zip(take, got):
             if self.stage == STAGE_RELOCALIZING:
                 break  # successors of a failed frame are poisoned: drop
             g = tuple(x for x in (pt_c, ln_c) if x is not None)
@@ -628,7 +633,9 @@ class FrameHandlerMono:
         self.ln_seeds = step.ln_seeds
         self._chain_nxt = step.next
         self._chain_pyr = tuple(pyr)
-        self._bursts.append(("single", [frame], step))
+        flat, meta = fused.flatpack_async(
+            (step.fused, step.pt_conv, step.ln_conv))
+        self._bursts.append(("single", [frame], flat, meta, None))
         self.last_frame = frame
         if len(self._bursts) > 1:
             self._drain_bursts(keep=1)
@@ -680,7 +687,8 @@ class FrameHandlerMono:
                 self.cfg, fid_k, ts_k, None,
                 self.last_frame.R_f_w.copy(), self.last_frame.t_f_w.copy()))
         self.last_frame = frames[-1]
-        self._bursts.append(("burst", frames, ys))
+        flat, meta = fused.flatpack_async(ys[:3])
+        self._bursts.append(("burst", frames, flat, meta, ys[3]))
 
     def _drain_bursts(self, keep: int):
         """Fetch + bookkeep the oldest in-flight bursts (ONE device_get),
@@ -692,21 +700,16 @@ class FrameHandlerMono:
         newest = self.last_frame
         pending_init = self._pending_seed_init
         self._pending_seed_init = []
-        fetch = []
-        for kind, frames, payload in take:
-            if kind == "single":
-                fetch.append((payload.fused, payload.pt_conv,
-                              payload.ln_conv))
-            else:
-                fetch.append(payload[:3])
         with self.permon.timer("reproject"):
-            flat, meta = fused.flatpack(
-                (fetch, [h for (_, _, _, h) in pending_init]))
-            got, init_got = fused.flatunpack(jax.device_get(flat), meta)
+            # transfers started at dispatch time (flatpack_async)
+            got = [fused.flatunpack(fused.fetch(flat), meta)
+                   for (_, _, flat, meta, _) in take]
+            init_got = [fused.flatunpack(fused.fetch(flat), meta)
+                        for (_, _, _, (flat, meta)) in pending_init]
         for (kf_slot, dm, dmin, _), fetched in zip(pending_init, init_got):
             self._complete_seed_init(kf_slot, dm, dmin, *fetched)
         stop = False
-        for (kind, frames, payload), (g_f, g_p, g_l) in zip(take, got):
+        for (kind, frames, _, _, ys_pyr), (g_f, g_p, g_l) in zip(take, got):
             if stop:
                 break
             for k, frame in enumerate(frames):
@@ -724,7 +727,6 @@ class FrameHandlerMono:
                     # the frame's pyramid stays device-resident in the
                     # burst outputs; sliced lazily iff it becomes a
                     # keyframe (the only consumer)
-                    ys_pyr = payload[3]
                     frame.pyr_thunk = (
                         lambda yp=ys_pyr, kk=k: [l[kk] for l in yp])
                 g = tuple(x for x in (pt_k, ln_k) if x is not None)
@@ -930,12 +932,14 @@ class FrameHandlerMono:
                          and not self._force_sync))
             if defer and d_mean is not None:
                 # defer the detection fetch into the next burst (async
-                # seed spawning, like the reference's mapping thread)
+                # seed spawning, like the reference's mapping thread);
+                # transfer starts now (flatpack_async)
                 kf_slot = int(np.where(
                     self.map.kf_frame_id == frame.frame_id)[0][0])
                 self._pending_seed_init.append(
                     (kf_slot, d_mean, max(d_min * 0.1, 1e-3),
-                     self._dispatch_seed_detection(frame)))
+                     fused.flatpack_async(
+                         self._dispatch_seed_detection(frame))))
             else:
                 self._init_seeds(frame, d_mean, max(d_min * 0.1, 1e-3))
 
@@ -1134,7 +1138,7 @@ class FrameHandlerMono:
         if not fetch:
             return
         flat, meta = fused.flatpack(fetch)
-        got = fused.flatunpack(jax.device_get(flat), meta)
+        got = fused.flatunpack(fused.fetch(flat), meta)
         self._apply_harvest(got, pt_pending is not None,
                             ln_pending is not None)
 

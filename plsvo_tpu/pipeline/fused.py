@@ -150,6 +150,46 @@ def flatpack(tree):
     return flat, (specs, treedef)
 
 
+_FETCH_POOL = None
+
+
+def _fetch_pool():
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        import concurrent.futures
+
+        # ONE worker: fetches complete in dispatch order (device queue
+        # order), and a single thread avoids concurrent-transfer contention
+        # on the tunnel
+        _FETCH_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="plsvo-fetch")
+    return _FETCH_POOL
+
+
+def flatpack_async(tree):
+    """flatpack + start the device->host transfer NOW on a background
+    thread.
+
+    Call at DISPATCH time: the blocking device_get runs off-thread
+    (releasing the GIL during the PJRT transfer), so the ~30 MB/s tunnel
+    transfer and the device compute overlap the main thread's subsequent
+    dispatches — by drain time the bytes have arrived and fetch() is a
+    local copy instead of an ~80 ms blocking round-trip (measured,
+    scratch/micro_fetch.py). NOTE: jax.Array.copy_to_host_async is NOT
+    used — on this backend it snapshots before the producing program
+    commits and device_get then returns garbage (observed: seed-detection
+    results corrupted, tracking diverged)."""
+    flat, meta = flatpack(tree)
+    fut = _fetch_pool().submit(jax.device_get, flat)
+    return fut, meta
+
+
+def fetch(handle):
+    """Resolve a flatpack_async handle (or a plain device array)."""
+    return handle.result() if hasattr(handle, "result") \
+        else jax.device_get(handle)
+
+
 def flatunpack(flat_np, meta):
     """Rebuild the pytree (numpy leaves) from the fetched flat vector."""
     import numpy as np
