@@ -92,6 +92,9 @@ class MapState:
     cfg: Config
     n_levels: int
     img_shape: tuple
+    # (fx, fy, cx, cy) of the ideal pinhole the VO runs on; used for
+    # host-side reprojection during re-anchoring and overlap queries
+    intrinsics: tuple = (1.0, 1.0, 0.0, 0.0)
 
     def __post_init__(self):
         caps = self.cfg.caps
@@ -106,6 +109,10 @@ class MapState:
         self.kf_frame_id = np.full(K, -1, np.int64)
         self.kf_R = np.tile(np.eye(3, dtype=np.float32)[None], (K, 1, 1))  # T_f_w
         self.kf_t = np.zeros((K, 3), np.float32)
+        # 5 "key" landmarks per keyframe for FoV-overlap tests: center-most
+        # + 4 quadrant extremes among features with landmarks (reference:
+        # Frame::setKeyPoints/checkKeyPoints, frame.cpp:87-141)
+        self.kf_key_lms = np.full((K, 5), -1, np.int32)
         # device-side pyramid stacks, one array per level
         self.kf_pyr: List[jnp.ndarray] = [
             jnp.zeros((K, H >> l, W >> l), jnp.float32) for l in range(self.n_levels)
@@ -211,6 +218,69 @@ class MapState:
         d = np.linalg.norm(centers - pos_w[None], axis=-1)
         return int(occ[np.argmin(d)])
 
+    # ---- FoV-overlap queries (reference: Map::getCloseKeyframes,
+    # map.cpp:158-179 + Frame::isVisible, frame.cpp:156-166) ----
+    def _set_key_landmarks(self, slot: int, frame: "FrameState"):
+        """Pick the 5 key landmarks of a new keyframe: center-most + the 4
+        quadrant extremes by |du*dv| (frame.cpp:87-141)."""
+        W2 = self.img_shape[1] / 2.0
+        H2 = self.img_shape[0] / 2.0
+        self.kf_key_lms[slot] = -1
+        sel = frame.pt_valid & (frame.pt_lm >= 0)
+        if not sel.any():
+            return
+        uv = frame.pt_uv[sel]
+        lm = frame.pt_lm[sel]
+        du = uv[:, 0] - W2
+        dv = uv[:, 1] - H2
+        self.kf_key_lms[slot, 0] = lm[np.argmin(np.maximum(
+            np.abs(du), np.abs(dv)))]
+        quads = [(du >= 0) & (dv >= 0), (du >= 0) & (dv < 0),
+                 (du < 0) & (dv < 0), (du < 0) & (dv >= 0)]
+        for q, m in enumerate(quads):
+            if m.any():
+                idx = np.where(m)[0]
+                self.kf_key_lms[slot, 1 + q] = lm[
+                    idx[np.argmax(du[idx] * dv[idx])]]
+
+    def overlap_kfs(self, R_f_w: np.ndarray, t_f_w: np.ndarray,
+                    fx: float, fy: float, cx: float, cy: float):
+        """Keyframes sharing field of view with the query pose: a KF
+        overlaps when any of its (live) key landmarks projects inside the
+        query frame with positive depth. Returns [(slot, distance)]."""
+        H, W = self.img_shape
+        pos_q = -R_f_w.T @ t_f_w
+        out = []
+        for k in np.where(self.kf_occupied)[0]:
+            lms = self.kf_key_lms[k]
+            lms = lms[(lms >= 0)]
+            lms = lms[self.pt_status[lms] > 0] if len(lms) else lms
+            if len(lms) == 0:
+                continue
+            xyz = self.pt_pos[lms] @ R_f_w.T + t_f_w
+            z = xyz[:, 2]
+            front = z > 0
+            zs = np.where(front, z, 1.0)
+            u = fx * xyz[:, 0] / zs + cx
+            v = fy * xyz[:, 1] / zs + cy
+            vis = front & (u >= 0) & (v >= 0) & (u < W) & (v < H)
+            if vis.any():
+                center_k = -self.kf_R[k].T @ self.kf_t[k]
+                out.append((int(k), float(np.linalg.norm(center_k - pos_q))))
+        return out
+
+    def closest_overlap_kf_slot(self, R_f_w, t_f_w, fx, fy, cx, cy,
+                                exclude_frame_id: int = -1) -> Optional[int]:
+        """Closest keyframe among those with FoV overlap (reference:
+        Map::getClosestKeyframe, map.cpp:181-199); falls back to pure
+        distance when nothing overlaps (total occlusion/blackout)."""
+        cands = self.overlap_kfs(R_f_w, t_f_w, fx, fy, cx, cy)
+        cands = [(k, d) for (k, d) in cands
+                 if self.kf_frame_id[k] != exclude_frame_id]
+        if not cands:
+            return self.closest_kf_slot(-R_f_w.T @ t_f_w)
+        return min(cands, key=lambda kd: kd[1])[0]
+
     def add_keyframe(self, frame: FrameState) -> int:
         """Install a frame into a keyframe slot (evict handled by caller)."""
         slot = self.free_kf_slot()
@@ -251,22 +321,78 @@ class MapState:
             self.ln_anchor_sf[lm] = frame.seg_sf[i]
             self.ln_anchor_ef[lm] = frame.seg_ef[i]
             self.ln_anchor_level[lm] = frame.seg_level[i]
+        self._set_key_landmarks(slot, frame)
         return slot
 
     def remove_keyframe(self, slot: int):
-        """Evict a keyframe; landmarks anchored there are deleted
-        (the reference deletes landmarks that lose their refs,
-        map.cpp:82-114 — anchor loss is the lethal case here)."""
+        """Evict a keyframe with reference-counting landmark deletion
+        (reference: Map::removePtFrameRef/removeLsFrameRef, map.cpp:82-114
+        — a landmark observed ≤2 times dies when one ref is removed).
+        Landmarks with ≥3 observations survive; if the evicted keyframe was
+        their warp ANCHOR they are re-anchored to another live observation
+        (the reference keeps all obs and picks per query via
+        getCloseViewObs; our tables cache one anchor, so re-pick here)."""
         self.kf_occupied[slot] = False
         self.kf_frame_id[slot] = -1
         self.kf_pt_lm[slot] = -1
         self.kf_seg_lm[slot] = -1
+        self.kf_key_lms[slot] = -1
         self.invalidate()
-        self.pt_status[self.pt_anchor_kf == slot] = ST_DELETED
-        self.ln_status[self.ln_anchor_kf == slot] = ST_DELETED
-        # invalidate obs slots referring to the removed keyframe
+
+        # --- points ---
+        observed_here = (self.pt_obs_kf == slot).any(axis=1)
+        n_obs = (self.pt_obs_kf >= 0).sum(axis=1)
+        live = self.pt_status > 0
+        dead = live & observed_here & (n_obs <= 2)
+        self.pt_status[dead] = ST_DELETED
         self.pt_obs_kf[self.pt_obs_kf == slot] = -1
+        # survivors anchored at the evicted KF: re-anchor to any live obs
+        need = live & ~dead & (self.pt_anchor_kf == slot)
+        for r in np.where(need)[0]:
+            oks = np.where((self.pt_obs_kf[r] >= 0)
+                           & self.kf_occupied[
+                               np.maximum(self.pt_obs_kf[r], 0)])[0]
+            if len(oks) == 0:
+                self.pt_status[r] = ST_DELETED
+                continue
+            o = oks[-1]  # most recent ring entry still valid
+            self.pt_anchor_kf[r] = self.pt_obs_kf[r, o]
+            self.pt_anchor_uv[r] = self.pt_obs_uv[r, o]
+            self.pt_anchor_f[r] = self.pt_obs_f[r, o]
+            self.pt_anchor_level[r] = self.pt_obs_level[r, o]
+
+        # --- lines (obs store bearings only; uv re-projected on demand) ---
+        lobserved = (self.ln_obs_kf == slot).any(axis=1)
+        ln_obs = (self.ln_obs_kf >= 0).sum(axis=1)
+        llive = self.ln_status > 0
+        ldead = llive & lobserved & (ln_obs <= 2)
+        self.ln_status[ldead] = ST_DELETED
         self.ln_obs_kf[self.ln_obs_kf == slot] = -1
+        lneed = llive & ~ldead & (self.ln_anchor_kf == slot)
+        for r in np.where(lneed)[0]:
+            oks = np.where((self.ln_obs_kf[r] >= 0)
+                           & self.kf_occupied[
+                               np.maximum(self.ln_obs_kf[r], 0)])[0]
+            if len(oks) == 0:
+                self.ln_status[r] = ST_DELETED
+                continue
+            o = oks[-1]
+            k = self.ln_obs_kf[r, o]
+            self.ln_anchor_kf[r] = k
+            self.ln_anchor_sf[r] = self.ln_obs_sf[r, o]
+            self.ln_anchor_ef[r] = self.ln_obs_ef[r, o]
+            # project endpoints into the new anchor for the cached uvs
+            fx, fy, cx, cy = self.intrinsics
+            for pos, tgt in ((self.ln_spos[r], self.ln_anchor_suv),
+                             (self.ln_epos[r], self.ln_anchor_euv)):
+                xyz = self.kf_R[k] @ pos + self.kf_t[k]
+                z = max(float(xyz[2]), 1e-6)
+                tgt[r] = (fx * xyz[0] / z + cx, fy * xyz[1] / z + cy)
+        # remove dead landmarks from every keyframe feature table
+        if dead.any():
+            self.kf_pt_lm[np.isin(self.kf_pt_lm, np.where(dead)[0])] = -1
+        if ldead.any():
+            self.kf_seg_lm[np.isin(self.kf_seg_lm, np.where(ldead)[0])] = -1
 
     # ---- landmark management -------------------------------------------
     def _add_pt_obs(self, lm: int, kf_slot: int, f: np.ndarray,
