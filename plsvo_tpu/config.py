@@ -94,10 +94,14 @@ class PipelineConfig:
     structureoptim_num_iter_segs: int = 5
 
     # reprojection / quality (C10, C14)
+    # quality_min_fts gates the COMBINED point+segment count
+    # (frame_handler_base.cpp:176); quality_max_drop_fts_segs replaces the
+    # point-drop check in line-only mode. (The reference also declares
+    # quality_min_fts_segs but marks it "pendiente" and never reads it,
+    # config.h:223 — dropped here.)
     reproj_thresh: float = 2.0
     quality_min_fts: int = 20
     quality_max_drop_fts: int = 50
-    quality_min_fts_segs: int = 20
     quality_max_drop_fts_segs: int = 50
     max_fts: int = 100
     max_fts_segs: int = 100

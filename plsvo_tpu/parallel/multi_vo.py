@@ -80,6 +80,7 @@ class BatchedVO:
         self._ln_stack = None
         # pipelined mode: in-flight batched steps + finished result lists
         self._bq: List = []  # (default_idx, frames, step)
+        self._bfetch_q: List = []  # in-flight fetch windows
         self._bready: List[list] = []
 
     # -- stacked-seed bookkeeping ---------------------------------------
@@ -241,13 +242,13 @@ class BatchedVO:
         # membership changing (bootstrap finishing, relocalization) forces
         # a full drain: in-flight steps are only valid for their member set
         if self._bq and tuple(default_idx) != self._bq[-1][0]:
-            self._drain_batched(keep=0)
+            self._drain_all_batched()
             default_idx = [i for i, vo in enumerate(self.vos)
                            if vo.stage == STAGE_DEFAULT]
         other_idx = [i for i in range(len(self.vos)) if i not in default_idx]
         if other_idx:
-            if self._bq:
-                self._drain_batched(keep=0)
+            if self._bq or self._bfetch_q:
+                self._drain_all_batched()
                 default_idx = [i for i, vo in enumerate(self.vos)
                                if vo.stage == STAGE_DEFAULT]
                 other_idx = [i for i in range(len(self.vos))
@@ -304,11 +305,10 @@ class BatchedVO:
             for k, i in enumerate(default_idx):
                 self.vos[i].last_frame = frames[k]
                 self.vos[i].frame_id += 1
-            flat, meta = fused.flatpack_async(
-                (step_b.fused, step_b.pt_conv, step_b.ln_conv))
-            self._bq.append((tuple(default_idx), frames, step_b, flat, meta))
+            self._bq.append((tuple(default_idx), frames, step_b))
             if len(self._bq) > self.depth:
-                self._drain_batched(keep=1)
+                self._initiate_drain_batched(keep=1)
+        self._complete_drains_batched(force=len(self._bfetch_q) > 1)
 
         if self._bready:
             ready = self._bready.pop(0)
@@ -317,54 +317,72 @@ class BatchedVO:
                     results[i] = r
         return results
 
-    def _drain_batched(self, keep: int):
-        """Burst-fetch the oldest in-flight batched steps (ONE sync for all
-        of them + any deferred keyframe seed-detection results), then run
-        the per-sequence host bookkeeping."""
+    def _initiate_drain_batched(self, keep: int):
+        """Stage 1: ONE flat concat of the oldest in-flight batched steps
+        (+ deferred keyframe seed-detection results) handed to the
+        background fetch thread (see FrameHandlerMono._initiate_drain —
+        each device_get round-trip costs ~80 ms over the tunnel, so one
+        concat per window, fetched off-thread)."""
         n = len(self._bq) - keep
         if n <= 0:
             return
         take = [self._bq.pop(0) for _ in range(n)]
-        newest = self._bq[-1] if self._bq else None
-        # deferred KF seed inits from the previous burst (vo rows recorded
+        # deferred KF seed inits from the previous window (vo rows recorded
         # at detection-dispatch time)
         pend = []
         for i, vo in enumerate(self.vos):
             for ent in vo._pending_seed_init:
                 pend.append((i, ent))
             vo._pending_seed_init = []
-        # transfers started at dispatch time (flatpack_async)
-        got = [fused.flatunpack(fused.fetch(flat), meta)
-               for (_, _, _, flat, meta) in take]
-        init_got = [fused.flatunpack(fused.fetch(flat), meta)
-                    for (_, (_, _, _, (flat, meta))) in pend]
-        for (i, (kf_slot, dm, dmin, _)), fetched in zip(pend, init_got):
-            vo = self.vos[i]
-            if self._seeds_idx is not None and i in self._seeds_idx:
-                self._install_seed_hooks(vo, self._seeds_idx.index(i))
-                try:
-                    vo._complete_seed_init(kf_slot, dm, dmin, *fetched)
-                finally:
-                    self._remove_seed_hooks(vo)
-            else:
-                vo._complete_seed_init(kf_slot, dm, dmin, *fetched)
-        for (didx, frames, _, _, _), (res_f, ptc_b, lnc_b) in zip(take, got):
-            rs = [None] * len(self.vos)
-            for k, i in enumerate(didx):
+        flat, meta = fused.flatpack((
+            [(s.fused, s.pt_conv, s.ln_conv) for _, _, s in take],
+            [h for (_, (_, _, _, h)) in pend]))
+        fut = fused.submit_fetch(flat)
+        self._bfetch_q.append(
+            ([(didx, frames) for (didx, frames, _) in take],
+             pend, fut, meta))
+
+    def _complete_drains_batched(self, force: bool):
+        """Stage 2: bookkeep arrived windows (deterministic — see
+        FrameHandlerMono._complete_drains)."""
+        while self._bfetch_q and force:
+            entries, pend, fut, meta = self._bfetch_q.pop(0)
+            got, init_got = fused.flatunpack(fut.result(), meta)
+            for (i, (kf_slot, dm, dmin, _)), fetched in zip(pend, init_got):
                 vo = self.vos[i]
-                if vo.stage != STAGE_DEFAULT:
-                    continue  # successors of a failed frame are poisoned
-                r = self._finish_one(vo, k, frames[k], res_f, ptc_b, lnc_b)
-                vo.results.append(r)
-                rs[i] = r
-            self._bready.append(rs)
-        if newest is not None:
-            # _post_fused pointed last_frame at each finalized frame; the
-            # newest dispatched frame stays the alignment reference
-            didx, frames = newest[0], newest[1]
-            for k, i in enumerate(didx):
-                if self.vos[i].stage == STAGE_DEFAULT:
-                    self.vos[i].last_frame = frames[k]
+                if self._seeds_idx is not None and i in self._seeds_idx:
+                    self._install_seed_hooks(vo, self._seeds_idx.index(i))
+                    try:
+                        vo._complete_seed_init(kf_slot, dm, dmin, *fetched)
+                    finally:
+                        self._remove_seed_hooks(vo)
+                else:
+                    vo._complete_seed_init(kf_slot, dm, dmin, *fetched)
+            for (didx, frames), (res_f, ptc_b, lnc_b) in zip(entries, got):
+                rs = [None] * len(self.vos)
+                for k, i in enumerate(didx):
+                    vo = self.vos[i]
+                    if vo.stage != STAGE_DEFAULT:
+                        continue  # successors of a failed frame: poisoned
+                    r = self._finish_one(vo, k, frames[k], res_f, ptc_b,
+                                         lnc_b)
+                    vo.results.append(r)
+                    rs[i] = r
+                self._bready.append(rs)
+            newest = self._bq[-1] if self._bq else None
+            if newest is not None:
+                # _post_fused pointed last_frame at each finalized frame;
+                # the newest dispatched frame stays the alignment reference
+                didx, frames = newest[0], newest[1]
+                for k, i in enumerate(didx):
+                    if self.vos[i].stage == STAGE_DEFAULT:
+                        self.vos[i].last_frame = frames[k]
+            force = False
+
+    def _drain_all_batched(self):
+        self._initiate_drain_batched(keep=0)
+        while self._bfetch_q:
+            self._complete_drains_batched(force=True)
 
     def flush(self):
         """Drain all in-flight pipelined frames (call at sequence end).
@@ -374,8 +392,8 @@ class BatchedVO:
             depth = max((len(t) for t in tails), default=0)
             return [[t[d] if d < len(t) else None for t in tails]
                     for d in range(depth)]
-        if self._bq:
-            self._drain_batched(keep=0)
+        if self._bq or self._bfetch_q:
+            self._drain_all_batched()
         out = self._bready
         self._bready = []
         return out

@@ -70,7 +70,11 @@ class FrameHandlerMono:
         pl = self.cfg.pipeline
         self.n_levels = max(pl.n_pyr_levels, pl.klt_max_level + 1)
         self.stage = STAGE_FIRST
-        self.map = MapState(self.cfg, self.n_levels, (cam.height, cam.width))
+        self.map = MapState(self.cfg, self.n_levels, (cam.height, cam.width),
+                            intrinsics=(float(np.asarray(cam.fx)),
+                                        float(np.asarray(cam.fy)),
+                                        float(np.asarray(cam.cx)),
+                                        float(np.asarray(cam.cy))))
         self.frame_id = 0
         self.last_frame: Optional[FrameState] = None
         self.first_frame: Optional[FrameState] = None
@@ -109,15 +113,18 @@ class FrameHandlerMono:
         self._pt_rows = np.arange(caps.max_seeds)
         self._ln_rows = np.arange(caps.max_seed_segs)
         # pipelined-mode in-flight frames [(FrameState, FullStepResult)]
-        # + finished results awaiting delivery + deferred KF seed inits
+        # + in-flight fetch windows + finished results awaiting delivery
+        # + deferred KF seed inits
         self._pipe_q: List = []
+        self._fetch_q: List = []
         self._ready: List[FrameResult] = []
         self._pending_seed_init: List = []
         # burst-mode state: raw-image buffer, in-flight bursts
-        # [(kind, frames, payload)], and the device-resident chain
-        # (NextFrameInputs + newest frame's pyramid)
+        # [(kind, frames, payload, ys_pyr)], in-flight fetch windows, and
+        # the device-resident chain (NextFrameInputs + newest pyramid)
         self._burst_buf: List = []
         self._bursts: List = []
+        self._bfetch_q: List = []
         self._chain_nxt = None
         self._chain_pyr = None
         # BatchedVO control: _force_sync routes stray per-seq frames through
@@ -540,63 +547,88 @@ class FrameHandlerMono:
                     frame_id=fid, **kw_t)
         self.pt_seeds = step.pt_seeds
         self.ln_seeds = step.ln_seeds
-        # pack + start the device->host copy NOW: by drain time the bytes
-        # have arrived and the fetch is a local memcpy (fused.flatpack_async)
-        flat, meta = fused.flatpack_async(
-            (step.fused, step.pt_conv, step.ln_conv))
-        self._pipe_q.append((frame, step, flat, meta))
+        self._pipe_q.append((frame, step))
         self.last_frame = frame
 
         depth = max(1, pl.pipeline_depth)
         if len(self._pipe_q) > depth:
-            # fetch all but the newest in-flight frame (transfers already
-            # overlapped with compute)
-            self._drain_pipeline(keep=1)
+            # stage 1: ONE flat concat for the window + background fetch
+            self._initiate_drain(keep=1)
+        # stage 2: bookkeep any arrived window (block only under
+        # backpressure — two windows already in flight)
+        self._complete_drains(force=len(self._fetch_q) > 1)
         return self._ready.pop(0) if self._ready else None
 
-    def _drain_pipeline(self, keep: int):
-        """Fetch + bookkeep the oldest in-flight frames, keeping `keep`
-        still in flight. One device_get for the whole burst — including
-        any keyframe seed-detection results deferred from the last burst."""
+    def _initiate_drain(self, keep: int):
+        """Stage 1 of the drain: pop the oldest in-flight frames, pack ALL
+        their results into ONE flat vector (each device_get round-trip
+        costs ~80 ms over the tunnel regardless of payload — one concat per
+        window, NOT one per frame), and hand the blocking fetch to the
+        background thread. Bookkeeping happens in _complete_drains when the
+        bytes have arrived, ~one window later."""
         n = len(self._pipe_q) - keep
         if n <= 0:
             return
         take = [self._pipe_q.pop(0) for _ in range(n)]
-        newest_frame = self.last_frame
         pending_init = self._pending_seed_init
         self._pending_seed_init = []
-        with self.permon.timer("reproject"):
-            # per-frame transfers were started at dispatch time
-            # (flatpack_async); device_get here waits only on the tail
-            got = [fused.flatunpack(fused.fetch(flat), meta)
-                   for (_, _, flat, meta) in take]
-            init_got = [fused.flatunpack(fused.fetch(flat), meta)
-                        for (_, _, _, (flat, meta)) in pending_init]
-        for (kf_slot, dm, dmin, _), fetched in zip(pending_init, init_got):
-            self._complete_seed_init(kf_slot, dm, dmin, *fetched)
-        for (frame, _, _, _), (res, pt_c, ln_c) in zip(take, got):
+        with self.permon.timer("sparse_img_align"):
+            flat, meta = fused.flatpack((
+                [(s.fused, s.pt_conv, s.ln_conv) for _, s in take],
+                [h for (_, _, _, h) in pending_init]))
+            fut = fused.submit_fetch(flat)
+        self._fetch_q.append(
+            ([f for f, _ in take], pending_init, fut, meta))
+
+    def _complete_drains(self, force: bool):
+        """Stage 2: bookkeep fetched windows. DETERMINISTIC: a window is
+        processed exactly when the next one has been submitted (force) —
+        by then its transfer has long overlapped a full window of
+        dispatches, so the block is ~free. (An earlier variant also
+        processed windows opportunistically when .done(); that made
+        bookkeeping order wall-clock-dependent — map updates landed on
+        different frames run to run, seed-table widths diverged, and the
+        'warm every program variant' bench pass no longer warmed the
+        variants the timed pass hit: a ~30 s remote compile landed inside
+        the measured window.)"""
+        while self._fetch_q and force:
+            frames, pending_init, fut, meta = self._fetch_q.pop(0)
+            newest_frame = self.last_frame
+            with self.permon.timer("reproject"):
+                got, init_got = fused.flatunpack(fut.result(), meta)
+            for (kf_slot, dm, dmin, _), fetched in zip(pending_init,
+                                                       init_got):
+                self._complete_seed_init(kf_slot, dm, dmin, *fetched)
+            for frame, (res, pt_c, ln_c) in zip(frames, got):
+                if self.stage == STAGE_RELOCALIZING:
+                    break  # successors of a failed frame are poisoned
+                g = tuple(x for x in (pt_c, ln_c) if x is not None)
+                self._apply_harvest(g, pt_c is not None, ln_c is not None)
+                self._ready.append(self._post_fused(frame, res))
             if self.stage == STAGE_RELOCALIZING:
-                break  # successors of a failed frame are poisoned: drop
-            g = tuple(x for x in (pt_c, ln_c) if x is not None)
-            self._apply_harvest(g, pt_c is not None, ln_c is not None)
-            self._ready.append(self._post_fused(frame, res))
-        if self.stage == STAGE_RELOCALIZING:
-            self._pipe_q.clear()
-        else:
+                # drop every in-flight successor of the failed frame
+                self._pipe_q.clear()
+                self._fetch_q.clear()
+                return
             # _post_fused points last_frame at each finalized frame; the
             # newest dispatched frame stays the alignment reference
             self.last_frame = newest_frame
+            force = False  # only the first forced completion must block
 
     def flush(self):
         """Drain all in-flight pipelined/burst frames (call at sequence
         end). Returns the remaining FrameResults in order."""
-        if self.cfg.pipeline.pipelined and self._pipe_q:
-            self._drain_pipeline(keep=0)
+        if self.cfg.pipeline.pipelined and (self._pipe_q or self._fetch_q):
+            self._initiate_drain(keep=0)
+            while self._fetch_q:
+                self._complete_drains(force=True)
         if self._burst_mode():
             leftover = self._burst_buf
             self._burst_buf = []
-            if self._bursts:
-                self._drain_bursts(keep=0)
+            if self._bursts or self._bfetch_q:
+                self._initiate_burst_drain(keep=0)
+                while self._bfetch_q:
+                    self._complete_burst_drains(force=True)
             # sequence tail shorter than burst_k: single-frame chained
             # steps (a partial burst would need its own compile variant)
             for (a, ts_k, fid_k) in leftover:
@@ -605,7 +637,9 @@ class FrameHandlerMono:
                 pyr = build_pyramid(jnp.asarray(a).astype(jnp.float32),
                                     self.n_levels)
                 self._burst_start(pyr, ts_k, fid_k)
-                self._drain_bursts(keep=0)
+                self._initiate_burst_drain(keep=0)
+                while self._bfetch_q:
+                    self._complete_burst_drains(force=True)
         out = self._ready
         self._ready = []
         return out
@@ -633,12 +667,13 @@ class FrameHandlerMono:
         self.ln_seeds = step.ln_seeds
         self._chain_nxt = step.next
         self._chain_pyr = tuple(pyr)
-        flat, meta = fused.flatpack_async(
-            (step.fused, step.pt_conv, step.ln_conv))
-        self._bursts.append(("single", [frame], flat, meta, None))
+        self._bursts.append(
+            ("single", [frame], (step.fused, step.pt_conv, step.ln_conv),
+             None))
         self.last_frame = frame
         if len(self._bursts) > 1:
-            self._drain_bursts(keep=1)
+            self._initiate_burst_drain(keep=1)
+        self._complete_burst_drains(force=len(self._bfetch_q) > 1)
         return self._ready.pop(0) if self._ready else None
 
     def _process_frame_burst(self, img, ts) -> Optional[FrameResult]:
@@ -656,7 +691,8 @@ class FrameHandlerMono:
         if len(self._burst_buf) >= self.cfg.pipeline.burst_k:
             self._dispatch_burst()
             if len(self._bursts) > 1:
-                self._drain_bursts(keep=1)
+                self._initiate_burst_drain(keep=1)
+        self._complete_burst_drains(force=len(self._bfetch_q) > 1)
         return self._ready.pop(0) if self._ready else None
 
     def _dispatch_burst(self):
@@ -687,60 +723,73 @@ class FrameHandlerMono:
                 self.cfg, fid_k, ts_k, None,
                 self.last_frame.R_f_w.copy(), self.last_frame.t_f_w.copy()))
         self.last_frame = frames[-1]
-        flat, meta = fused.flatpack_async(ys[:3])
-        self._bursts.append(("burst", frames, flat, meta, ys[3]))
+        self._bursts.append(("burst", frames, ys[:3], ys[3]))
 
-    def _drain_bursts(self, keep: int):
-        """Fetch + bookkeep the oldest in-flight bursts (ONE device_get),
-        keeping `keep` still in flight."""
+    def _initiate_burst_drain(self, keep: int):
+        """Stage 1 (burst mode): ONE flat concat over the oldest in-flight
+        bursts + background fetch (see _initiate_drain)."""
         n = len(self._bursts) - keep
         if n <= 0:
             return
         take = [self._bursts.pop(0) for _ in range(n)]
-        newest = self.last_frame
         pending_init = self._pending_seed_init
         self._pending_seed_init = []
-        with self.permon.timer("reproject"):
-            # transfers started at dispatch time (flatpack_async)
-            got = [fused.flatunpack(fused.fetch(flat), meta)
-                   for (_, _, flat, meta, _) in take]
-            init_got = [fused.flatunpack(fused.fetch(flat), meta)
-                        for (_, _, _, (flat, meta)) in pending_init]
-        for (kf_slot, dm, dmin, _), fetched in zip(pending_init, init_got):
-            self._complete_seed_init(kf_slot, dm, dmin, *fetched)
-        stop = False
-        for (kind, frames, _, _, ys_pyr), (g_f, g_p, g_l) in zip(take, got):
-            if stop:
-                break
-            for k, frame in enumerate(frames):
-                if self.stage == STAGE_RELOCALIZING:
-                    stop = True
+        with self.permon.timer("sparse_img_align"):
+            flat, meta = fused.flatpack((
+                [payload for (_, _, payload, _) in take],
+                [h for (_, _, _, h) in pending_init]))
+            fut = fused.submit_fetch(flat)
+        self._bfetch_q.append(
+            ([(kind, frames, ys_pyr) for (kind, frames, _, ys_pyr) in take],
+             pending_init, fut, meta))
+
+    def _complete_burst_drains(self, force: bool):
+        """Stage 2 (burst mode): bookkeep arrived windows (deterministic —
+        see _complete_drains)."""
+        while self._bfetch_q and force:
+            entries, pending_init, fut, meta = self._bfetch_q.pop(0)
+            newest = self.last_frame
+            with self.permon.timer("reproject"):
+                got, init_got = fused.flatunpack(fut.result(), meta)
+            for (kf_slot, dm, dmin, _), fetched in zip(pending_init,
+                                                       init_got):
+                self._complete_seed_init(kf_slot, dm, dmin, *fetched)
+            stop = False
+            for (kind, frames, ys_pyr), (g_f, g_p, g_l) in zip(entries, got):
+                if stop:
                     break
-                if kind == "single":
-                    res_k, pt_k, ln_k = g_f, g_p, g_l
-                else:
-                    res_k = jax.tree.map(lambda x: x[k], g_f)
-                    pt_k = (None if g_p is None
-                            else jax.tree.map(lambda x: x[k], g_p))
-                    ln_k = (None if g_l is None
-                            else jax.tree.map(lambda x: x[k], g_l))
-                    # the frame's pyramid stays device-resident in the
-                    # burst outputs; sliced lazily iff it becomes a
-                    # keyframe (the only consumer)
-                    frame.pyr_thunk = (
-                        lambda yp=ys_pyr, kk=k: [l[kk] for l in yp])
-                g = tuple(x for x in (pt_k, ln_k) if x is not None)
-                self._apply_harvest(g, pt_k is not None, ln_k is not None)
-                self._ready.append(self._post_fused(frame, res_k))
-        if self.stage == STAGE_RELOCALIZING:
-            # successors of a failed frame are poisoned: drop everything
-            # and restart the chain after relocalization
-            self._bursts.clear()
-            self._burst_buf.clear()
-            self._chain_nxt = None
-            self._chain_pyr = None
-        else:
+                for k, frame in enumerate(frames):
+                    if self.stage == STAGE_RELOCALIZING:
+                        stop = True
+                        break
+                    if kind == "single":
+                        res_k, pt_k, ln_k = g_f, g_p, g_l
+                    else:
+                        res_k = jax.tree.map(lambda x: x[k], g_f)
+                        pt_k = (None if g_p is None
+                                else jax.tree.map(lambda x: x[k], g_p))
+                        ln_k = (None if g_l is None
+                                else jax.tree.map(lambda x: x[k], g_l))
+                        # the frame's pyramid stays device-resident in the
+                        # burst outputs; sliced lazily iff it becomes a
+                        # keyframe (the only consumer)
+                        frame.pyr_thunk = (
+                            lambda yp=ys_pyr, kk=k: [l[kk] for l in yp])
+                    g = tuple(x for x in (pt_k, ln_k) if x is not None)
+                    self._apply_harvest(g, pt_k is not None,
+                                        ln_k is not None)
+                    self._ready.append(self._post_fused(frame, res_k))
+            if self.stage == STAGE_RELOCALIZING:
+                # successors of a failed frame are poisoned: drop everything
+                # and restart the chain after relocalization
+                self._bursts.clear()
+                self._bfetch_q.clear()
+                self._burst_buf.clear()
+                self._chain_nxt = None
+                self._chain_pyr = None
+                return
             self.last_frame = newest
+            force = False
 
     def _post_fused(self, frame: FrameState, res) -> FrameResult:
         """Host bookkeeping after the fused core (counters, deletion rules,
@@ -786,11 +835,13 @@ class FrameHandlerMono:
         frame.pt_valid[:n_pt] = True
 
         n_seg = 0
+        n_seg_gate = 0
         if pl.has_ls:
             seg = res.seg
             slm = seg.lm_idx
             smat = seg.matched
             ssel = seg.selected
+            n_seg_gate = int(smat.sum())
             m.ln_n_succ[slm[smat]] += 1
             m.ln_n_fail[slm[ssel & ~smat]] += 1
             c_dead = (m.ln_status == ST_CANDIDATE) & (m.ln_n_fail > 30)
@@ -817,7 +868,9 @@ class FrameHandlerMono:
             frame.seg_valid[:] = False
             frame.seg_valid[:n_seg] = True
 
-        if n_pt_gate < pl.quality_min_fts:
+        # reference gates on POINT+SEGMENT matches combined
+        # (frame_handler_mono.cpp:316 repr_n_..._pt + repr_n_..._ls)
+        if n_pt_gate + n_seg_gate < pl.quality_min_fts:
             # tracking failed (frame_handler_mono.cpp:315-321)
             frame.R_f_w, frame.t_f_w = last.R_f_w.copy(), last.t_f_w.copy()
             self.stage = STAGE_RELOCALIZING
@@ -849,11 +902,15 @@ class FrameHandlerMono:
             m.invalidate("ln_spos", "ln_epos")
 
         # --- quality + keyframe decision ---
-        quality = self._tracking_quality(frame, n_pt)
-        if quality == QUALITY_BAD:
+        quality = self._tracking_quality(n_pt, n_seg)
+        if quality == QUALITY_INSUFFICIENT:
+            # reference: INSUFFICIENT resets pose + fails
+            # (frame_handler_mono.cpp:347-351); BAD (big feature drop) only
+            # blocks keyframe selection but tracking continues (:354-357)
             frame.R_f_w, frame.t_f_w = last.R_f_w.copy(), last.t_f_w.copy()
             self.stage = STAGE_RELOCALIZING
-            return FrameResult(frame.frame_id, STAGE_DEFAULT, QUALITY_BAD,
+            return FrameResult(frame.frame_id, STAGE_DEFAULT,
+                               QUALITY_INSUFFICIENT,
                                n_pt, n_seg, False, frame.R_f_w, frame.t_f_w)
 
         d_mean, d_min = self.map.scene_depth(frame)
@@ -873,13 +930,27 @@ class FrameHandlerMono:
 
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
-    def _tracking_quality(self, frame: FrameState, n_matches: int) -> str:
-        """frame_handler_base.cpp:173-190."""
+    def _tracking_quality(self, n_pt: int, n_seg: int) -> str:
+        """frame_handler_base.cpp:173-190: INSUFFICIENT when the COMBINED
+        point+segment observation count is below quality_min_fts
+        (:176-181 — so segment matches keep line-heavy tracking alive);
+        BAD when the POINT drop exceeds quality_max_drop_fts (:183-189;
+        the reference ships the segment-drop condition commented out,
+        :184). In line-only mode (has_pt=False) the segment-drop check
+        takes the points' role via quality_max_drop_fts_segs."""
         pl = self.cfg.pipeline
-        if n_matches < pl.quality_min_fts:
+        if n_pt + n_seg < pl.quality_min_fts:
             return QUALITY_INSUFFICIENT
-        last_n = self.results[-1].n_pt_matches if self.results else n_matches
-        if last_n - n_matches > pl.quality_max_drop_fts:
+        if self.results:
+            last_pt = self.results[-1].n_pt_matches
+            last_seg = self.results[-1].n_seg_matches
+        else:
+            last_pt, last_seg = n_pt, n_seg
+        if pl.has_pt:
+            if min(last_pt, pl.max_fts) - n_pt > pl.quality_max_drop_fts:
+                return QUALITY_BAD
+        elif min(last_seg, pl.max_fts_segs) - n_seg \
+                > pl.quality_max_drop_fts_segs:
             return QUALITY_BAD
         return QUALITY_GOOD
 
@@ -931,15 +1002,14 @@ class FrameHandlerMono:
                      or (self.cfg.pipeline.pipelined
                          and not self._force_sync))
             if defer and d_mean is not None:
-                # defer the detection fetch into the next burst (async
-                # seed spawning, like the reference's mapping thread);
-                # transfer starts now (flatpack_async)
+                # defer the detection fetch into the next drain window
+                # (async seed spawning, like the reference's mapping
+                # thread)
                 kf_slot = int(np.where(
                     self.map.kf_frame_id == frame.frame_id)[0][0])
                 self._pending_seed_init.append(
                     (kf_slot, d_mean, max(d_min * 0.1, 1e-3),
-                     fused.flatpack_async(
-                         self._dispatch_seed_detection(frame))))
+                     self._dispatch_seed_detection(frame)))
             else:
                 self._init_seeds(frame, d_mean, max(d_min * 0.1, 1e-3))
 
@@ -1138,7 +1208,7 @@ class FrameHandlerMono:
         if not fetch:
             return
         flat, meta = fused.flatpack(fetch)
-        got = fused.flatunpack(fused.fetch(flat), meta)
+        got = fused.flatunpack(jax.device_get(flat), meta)
         self._apply_harvest(got, pt_pending is not None,
                             ln_pending is not None)
 
@@ -1190,7 +1260,12 @@ class FrameHandlerMono:
         frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
                                  self.last_frame.R_f_w.copy(),
                                  self.last_frame.t_f_w.copy())
-        slot = self.map.closest_kf_slot(self.last_frame.cam_center_w())
+        # closest among FoV-overlapping keyframes (reference:
+        # map.cpp:158-199 getCloseKeyframes + getClosestKeyframe) — a
+        # near-but-backward-facing KF must NOT win over an overlapping one
+        slot = self.map.closest_overlap_kf_slot(
+            self.last_frame.R_f_w, self.last_frame.t_f_w,
+            self._fx, self._fy, self._cx, self._cy)
         if slot is None:
             self._reset()
             return FrameResult(frame.frame_id, STAGE_RELOCALIZING,
@@ -1262,7 +1337,9 @@ class FrameHandlerMono:
     def _reset(self):
         self.stage = STAGE_FIRST
         self.map = MapState(self.cfg, self.n_levels,
-                            (self.cam.height, self.cam.width))
+                            (self.cam.height, self.cam.width),
+                            intrinsics=(self._fx, self._fy,
+                                        self._cx, self._cy))
         self.pt_seeds = df.empty_point_seeds(self.cfg.caps.max_seeds)
         self.ln_seeds = df.empty_line_seeds(self.cfg.caps.max_seed_segs)
         self.last_frame = None
@@ -1272,9 +1349,11 @@ class FrameHandlerMono:
         self._lnseed_alive[:] = False
         self._any_line_seeds = False
         self._pipe_q = []
+        self._fetch_q = []
         self._ready = []
         self._pending_seed_init = []
         self._burst_buf = []
         self._bursts = []
+        self._bfetch_q = []
         self._chain_nxt = None
         self._chain_pyr = None

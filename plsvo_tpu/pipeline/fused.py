@@ -166,28 +166,20 @@ def _fetch_pool():
     return _FETCH_POOL
 
 
-def flatpack_async(tree):
-    """flatpack + start the device->host transfer NOW on a background
-    thread.
+def submit_fetch(flat):
+    """Hand the blocking device_get of ONE flat vector to the background
+    thread; returns a future.
 
-    Call at DISPATCH time: the blocking device_get runs off-thread
-    (releasing the GIL during the PJRT transfer), so the ~30 MB/s tunnel
-    transfer and the device compute overlap the main thread's subsequent
-    dispatches — by drain time the bytes have arrived and fetch() is a
-    local copy instead of an ~80 ms blocking round-trip (measured,
-    scratch/micro_fetch.py). NOTE: jax.Array.copy_to_host_async is NOT
-    used — on this backend it snapshots before the producing program
-    commits and device_get then returns garbage (observed: seed-detection
-    results corrupted, tracking diverged)."""
-    flat, meta = flatpack(tree)
-    fut = _fetch_pool().submit(jax.device_get, flat)
-    return fut, meta
-
-
-def fetch(handle):
-    """Resolve a flatpack_async handle (or a plain device array)."""
-    return handle.result() if hasattr(handle, "result") \
-        else jax.device_get(handle)
+    Fetch economics over the remote-TPU tunnel (scratch/micro_fetch.py):
+    every device_get of freshly computed data costs ~80 ms of round-trip
+    REGARDLESS of payload, plus ~30 MB/s of bandwidth — so results must be
+    concatenated into ONE vector per drain window (never per frame), and
+    the round-trip runs off-thread (GIL released during the PJRT
+    transfer) so it overlaps the main thread's dispatches. NOTE:
+    jax.Array.copy_to_host_async is NOT used — on this backend it
+    snapshots before the producing program commits and device_get then
+    returns garbage (observed: seed-detection fetches corrupted)."""
+    return _fetch_pool().submit(jax.device_get, flat)
 
 
 def flatunpack(flat_np, meta):

@@ -162,12 +162,15 @@ def test_pipeline_lines_only_mode(sequence):
         cfg, pipeline=dataclasses.replace(
             cfg.pipeline, has_pt=False,
             # line-only has fewer measurements (3 KLT targets per segment):
-            # relax the point-count gates that were tuned for the point
-            # pipeline, as the reference's config would need to. The inlier
-            # gate scales the same way: ~30 targets track with an ~85-90%
+            # scale the count gates down from their point-pipeline tuning,
+            # as the reference's config would need to. The inlier gate
+            # scales the same way: ~30 targets track with an ~85-90%
             # RANSAC inlier ratio, so an absolute 30-inlier gate (tuned for
-            # a 100+-corner init) can never pass here
-            quality_min_fts=0, init_min_fts=24, init_min_tracked=16,
+            # a 100+-corner init) can never pass here. The gate stays REAL:
+            # segment matches count toward quality_min_fts
+            # (frame_handler_base.cpp:176).
+            quality_min_fts=4,
+            init_min_fts=24, init_min_tracked=16,
             init_min_inliers=18))
     vo, results = run_pipeline(imgs, cfg)
     stages = [r.stage for r in results]
