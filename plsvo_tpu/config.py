@@ -24,6 +24,7 @@ class PipelineConfig:
     # feature classes on/off (reference: has_pt/has_ls, frame_handler_mono.cpp:101-125)
     has_pt: bool = True
     has_ls: bool = True
+    # bootstrap detector toggles (reference: initialization.cpp:133-140)
     init_pt: bool = True
     init_ls: bool = True
 
@@ -81,11 +82,15 @@ class PipelineConfig:
     subpix_n_iter: int = 10
     triang_half_patch_size: int = 4
 
-    # pose optimizer (C13)
+    # pose optimizer (C13). has_refinement enables the reference's
+    # second-overload inlier-only refinement phase of poseoptim_num_iter_ref
+    # iterations (pose_optimizer.cpp:469-563); OFF by default because the
+    # reference pipeline calls the first overload
+    # (frame_handler_mono.cpp:327-329).
     poseoptim_thresh: float = 2.0
     poseoptim_num_iter: int = 10
     poseoptim_num_iter_ref: int = 3
-    has_refinement: bool = True
+    has_refinement: bool = False
 
     # structure optimizer
     structureoptim_max_pts: int = 20
@@ -116,9 +121,15 @@ class PipelineConfig:
     # depth_filter.cpp:116-131). 0 = search every seed.
     seed_search_budget: int = 128
 
-    # epipolar search (C9)
-    epi_max_steps: int = 256  # fixed budget (ref caps at 1000, matcher.cpp:351)
-    epi_step_px: float = 0.7
+    # epipolar search (C9): width of the sliding ZMSSD window in px at the
+    # search level. Bands longer than this bump to a coarser pyramid level
+    # (halving per level) until they fit, so the WHOLE [mu-sigma, mu+sigma]
+    # band is always covered; bands too long even at the coarsest level
+    # fail the match with the outlier penalty — the reference walks the
+    # full band in ~1px-at-search-level steps (0.7px level-0 steps rounded
+    # to integer search-level pixels, matcher.cpp:347-390) and likewise
+    # gives up beyond max_epi_search_steps (:352-356).
+    epi_max_steps: int = 128
 
 
 @dataclass(frozen=True)

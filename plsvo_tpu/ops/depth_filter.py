@@ -213,6 +213,15 @@ def update_point_seeds(
         & (uv_cur[:, 1] > margin) & (uv_cur[:, 1] < H0 - margin))
     visible = alive & z_ok & in_frame
 
+    # epipolar band from the inverse-depth interval [mu - sigma, mu + sigma]
+    sigma = jnp.sqrt(jnp.maximum(seeds.sigma2, 0.0))
+    i_min = jnp.maximum(seeds.mu - sigma, 1e-7)  # farthest (smallest idepth)
+    i_max = seeds.mu + sigma
+    d_max = 1.0 / i_min
+    d_min = 1.0 / i_max
+    xyz_far = jnp.einsum("sij,sj->si", R_cr, seeds.f * d_max[:, None]) + t_cr
+    xyz_near = jnp.einsum("sij,sj->si", R_cr, seeds.f * d_min[:, None]) + t_cr
+
     # warped reference patches at the best search level
     A = jax.vmap(
         lambda uv, f, d, lv, R, t: matcher_ops.get_warp_affine(
@@ -221,7 +230,26 @@ def update_point_seeds(
     detA = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
     A_ok = jnp.abs(detA) > 1e-6
     A_inv = jnp.linalg.inv(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
-    slevel = matcher_ops.best_search_level(A, len(cur_pyr) - 1)
+    max_level = len(cur_pyr) - 1
+    slevel = matcher_ops.best_search_level(A, max_level)
+    # long-band coverage (reference parity, matcher.cpp:347-356): the
+    # reference walks the WHOLE [d_min, d_max] band and gives up past
+    # max_epi_search_steps — it never searches a prefix. Here a band longer
+    # than the n_epi_steps window bumps the search to a coarser pyramid
+    # level (each level halves the band) until it fits; bands that exceed
+    # the window even at the coarsest level fail the match and take the
+    # reference's outlier penalty (depth_filter.cpp:311-317 b++), never a
+    # wrong-prefix measurement.
+    def _proj0(xyz):
+        z = jnp.maximum(xyz[:, 2], 1e-6)
+        return jnp.stack([fx * xyz[:, 0] / z + cx,
+                          fy * xyz[:, 1] / z + cy], -1)
+
+    band0 = jnp.linalg.norm(_proj0(xyz_near) - _proj0(xyz_far), axis=-1)
+    band_lvl = band0 / (1 << slevel).astype(f32)
+    extra = jnp.ceil(jnp.log2(jnp.maximum(band_lvl / n_epi_steps, 1.0)))
+    slevel = jnp.minimum(slevel + extra.astype(jnp.int32), max_level)
+    too_long = band0 / (1 << slevel).astype(f32) > f32(n_epi_steps)
     from plsvo_tpu.image import ensure_flat_atlas, pack_pyramid_atlas
 
     kf_flat = ensure_flat_atlas(kf_pyr_stack)
@@ -231,15 +259,8 @@ def update_point_seeds(
         patch_size=patch_size)
     ref_patch, ref_dx, ref_dy = ref_patch_gradients(patches_b, patch_size)
 
-    # epipolar band from the inverse-depth interval [mu - sigma, mu + sigma]
-    sigma = jnp.sqrt(jnp.maximum(seeds.sigma2, 0.0))
-    i_min = jnp.maximum(seeds.mu - sigma, 1e-7)  # farthest (smallest idepth)
-    i_max = seeds.mu + sigma
-    d_max = 1.0 / i_min
-    d_min = 1.0 / i_max
-    xyz_far = jnp.einsum("sij,sj->si", R_cr, seeds.f * d_max[:, None]) + t_cr
-    xyz_near = jnp.einsum("sij,sj->si", R_cr, seeds.f * d_min[:, None]) + t_cr
-    search_valid = visible & warp_ok & A_ok & (xyz_far[:, 2] > 1e-3) & (xyz_near[:, 2] > 1e-3)
+    search_valid = visible & warp_ok & A_ok & ~too_long \
+        & (xyz_far[:, 2] > 1e-3) & (xyz_near[:, 2] > 1e-3)
 
     skipped = jnp.zeros((S,), bool)
     if max_search:
@@ -249,16 +270,8 @@ def update_point_seeds(
         # sequential and pipelined execution and must not change which
         # code path a given seed's update takes.
         k_search = min(max_search, S)
-        # band length (px at the search level) of each seed's epipolar
-        # segment — the projections of the depth extremes
-        def proj0(xyz):
-            z = jnp.maximum(xyz[:, 2], 1e-6)
-            return jnp.stack([fx * xyz[:, 0] / z + cx,
-                              fy * xyz[:, 1] / z + cy], -1)
-
-        scale_l = 1.0 / (1 << slevel).astype(f32)
-        band = jnp.linalg.norm(
-            (proj0(xyz_near) - proj0(xyz_far)) * scale_l[:, None], axis=-1)
+        # band length in px at the (possibly bumped) search level
+        band = band0 / (1 << slevel).astype(f32)
         band = jnp.where(search_valid, band, -1.0)
         is_short = search_valid & (band <= 2.0)
         long_key = jnp.where(is_short, -1.0, band)

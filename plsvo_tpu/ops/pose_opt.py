@@ -120,7 +120,7 @@ def _seg_errors(R, t, inp: PoseOptInputs):
     return xyz_s, xyz_e, e, sic
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
+@partial(jax.jit, static_argnames=("n_iter", "n_iter_ref"))
 def optimize_pose(
     inp: PoseOptInputs,
     R_init: jnp.ndarray,
@@ -128,8 +128,14 @@ def optimize_pose(
     focal: jnp.ndarray,
     *,
     n_iter: int = 10,
+    n_iter_ref: int = 0,
     reproj_thresh: float = 2.0,
 ) -> PoseOptResult:
+    """n_iter_ref > 0 adds the reference's second-overload refinement
+    phase: after outlier stripping, the SAME robust GN runs n_iter_ref more
+    iterations over the surviving inliers only (pose_optimizer.cpp:469-563;
+    the reference pipeline itself calls the first overload,
+    frame_handler_mono.cpp:327-329, so the default is off)."""
     f32 = jnp.float32
     R0, t0 = R_init.astype(f32), t_init.astype(f32)
 
@@ -144,11 +150,11 @@ def optimize_pose(
     scale_pt = scale_pt0
     scale_sg = scale_sg0
 
-    def system(R, t):
+    def system(R, t, pt_valid, seg_valid):
         xyz_pt, e_pt, sic_pt = _pt_errors(R, t, inp)
         en_pt = jnp.linalg.norm(e_pt, axis=-1)
         J_pt = jacobian_xyz2uv(xyz_pt) * sic_pt[:, None, None]  # (N,2,6)
-        w_pt = tukey_weight(en_pt / scale_pt) * inp.pt_valid
+        w_pt = tukey_weight(en_pt / scale_pt) * pt_valid
 
         xyz_s, xyz_e, e_sg, sic_sg = _seg_errors(R, t, inp)
         l_aux = inp.seg_line[:, :2]  # (M,2)
@@ -165,7 +171,7 @@ def optimize_pose(
         row_e = -jnp.einsum("mi,mik->mk", l_aux, Je)
         J_sg = jnp.stack([row_s, row_e], axis=1)  # (M,2,6)
         en_sg = jnp.linalg.norm(e_sg, axis=-1)
-        w_sg = tukey_weight(en_sg / scale_sg) * inp.seg_valid
+        w_sg = tukey_weight(en_sg / scale_sg) * seg_valid
 
         A = (
             jnp.einsum("nik,nil,n->kl", J_pt, J_pt, w_pt)
@@ -177,47 +183,59 @@ def optimize_pose(
         )
         # monitor the actual robust cost (see tukey_rho docstring)
         chi2 = (
-            jnp.sum(jnp.where(inp.pt_valid, tukey_rho(en_pt / scale_pt), 0.0))
-            + jnp.sum(jnp.where(inp.seg_valid, tukey_rho(en_sg / scale_sg), 0.0))
+            jnp.sum(jnp.where(pt_valid, tukey_rho(en_pt / scale_pt), 0.0))
+            + jnp.sum(jnp.where(seg_valid, tukey_rho(en_sg / scale_sg), 0.0))
         )
         return A, b, chi2
 
-    def cond(c):
-        it, stop, *_ = c
-        return (it < n_iter) & ~stop
+    def run_gn(R0_, t0_, pt_valid, seg_valid, iters):
+        def cond(c):
+            it, stop, *_ = c
+            return (it < iters) & ~stop
 
-    def body(c):
-        it, stop, R, t, R_old, t_old, chi2_prev, A_last = c
-        A, b, chi2 = system(R, t)
-        dT = jnp.linalg.solve(A + 1e-10 * jnp.eye(6, dtype=f32), b)
-        bad = jnp.any(jnp.isnan(dT))
-        worse = (it > 0) & (chi2 > chi2_prev)
-        stop_new = worse | bad | (jnp.max(jnp.abs(dT)) < 1e-10)
-        dR, dt = lie.se3_exp(dT)
-        # left-compose: T_new = exp(dT) * T (pose_optimizer.cpp:183)
-        R_new, t_new = lie.compose(dR, dt, R, t)
-        R_o = jnp.where(worse | bad, R_old, R)
-        t_o = jnp.where(worse | bad, t_old, t)
-        R_next = jnp.where(worse | bad, R_o, R_new)
-        t_next = jnp.where(worse | bad, t_o, t_new)
-        chi2_keep = jnp.where(worse, chi2_prev, chi2)
-        A_keep = jnp.where(worse, A_last, A)
-        return (it + 1, stop_new, R_next, t_next, R, t, chi2_keep, A_keep)
+        def body(c):
+            it, stop, R, t, R_old, t_old, chi2_prev, A_last = c
+            A, b, chi2 = system(R, t, pt_valid, seg_valid)
+            dT = jnp.linalg.solve(A + 1e-10 * jnp.eye(6, dtype=f32), b)
+            bad = jnp.any(jnp.isnan(dT))
+            worse = (it > 0) & (chi2 > chi2_prev)
+            stop_new = worse | bad | (jnp.max(jnp.abs(dT)) < 1e-10)
+            dR, dt = lie.se3_exp(dT)
+            # left-compose: T_new = exp(dT) * T (pose_optimizer.cpp:183)
+            R_new, t_new = lie.compose(dR, dt, R, t)
+            R_o = jnp.where(worse | bad, R_old, R)
+            t_o = jnp.where(worse | bad, t_old, t)
+            R_next = jnp.where(worse | bad, R_o, R_new)
+            t_next = jnp.where(worse | bad, t_o, t_new)
+            chi2_keep = jnp.where(worse, chi2_prev, chi2)
+            A_keep = jnp.where(worse, A_last, A)
+            return (it + 1, stop_new, R_next, t_next, R, t, chi2_keep, A_keep)
 
-    init = (jnp.zeros((), jnp.int32), jnp.zeros((), bool), R0, t0, R0, t0,
-            jnp.asarray(jnp.inf, f32), jnp.eye(6, dtype=f32))
-    _, _, R, t, _, _, chi2, A_fin = jax.lax.while_loop(cond, body, init)
+        init = (jnp.zeros((), jnp.int32), jnp.zeros((), bool), R0_, t0_,
+                R0_, t0_, jnp.asarray(jnp.inf, f32), jnp.eye(6, dtype=f32))
+        _, _, R, t, _, _, chi2, A_fin = jax.lax.while_loop(cond, body, init)
+        return R, t, chi2, A_fin
 
-    # covariance = inverse information (pose_optimizer.cpp:197-199)
-    cov = jnp.linalg.inv(A_fin * focal * focal + 1e-12 * jnp.eye(6, dtype=f32))
+    R, t, chi2, A_fin = run_gn(R0, t0, inp.pt_valid, inp.seg_valid, n_iter)
 
     # --- outlier stripping (pose_optimizer.cpp:201-242) ---
     thresh_pt = reproj_thresh / focal
     thresh_sg = thresh_pt * scale_sg0 / scale_pt0
-    _, e_pt, _ = _pt_errors(R, t, inp)
-    pt_in = inp.pt_valid & (jnp.linalg.norm(e_pt, axis=-1) <= thresh_pt)
-    _, _, e_sg, _ = _seg_errors(R, t, inp)
-    seg_in = inp.seg_valid & (jnp.linalg.norm(e_sg, axis=-1) <= thresh_sg)
+
+    def strip(R, t):
+        _, e_pt, _ = _pt_errors(R, t, inp)
+        pt_in = inp.pt_valid & (jnp.linalg.norm(e_pt, axis=-1) <= thresh_pt)
+        _, _, e_sg, _ = _seg_errors(R, t, inp)
+        seg_in = inp.seg_valid & (jnp.linalg.norm(e_sg, axis=-1) <= thresh_sg)
+        return pt_in, seg_in
+
+    pt_in, seg_in = strip(R, t)
+    if n_iter_ref > 0:
+        R, t, chi2, A_fin = run_gn(R, t, pt_in, seg_in, n_iter_ref)
+        pt_in, seg_in = strip(R, t)
+
+    # covariance = inverse information (pose_optimizer.cpp:197-199)
+    cov = jnp.linalg.inv(A_fin * focal * focal + 1e-12 * jnp.eye(6, dtype=f32))
 
     return PoseOptResult(
         R=R, t=t, cov=cov, pt_inlier=pt_in, seg_inlier=seg_in,

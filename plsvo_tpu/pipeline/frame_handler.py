@@ -205,12 +205,18 @@ class FrameHandlerMono:
         return res
 
     # ------------------------------------------------------------------
-    def _detect_features(self, pyr):
+    def _detect_features(self, pyr, use_pt: bool = None, use_ls: bool = None):
         """FAST grid corners + line segments with shared occupancy
         (reference: initialization::detectFeatures, initialization.cpp:125-168
-        and FrameHandlerMono detector wiring, frame_handler_mono.cpp:63-137)."""
+        and FrameHandlerMono detector wiring, frame_handler_mono.cpp:63-137).
+        use_pt/use_ls override the class toggles for the bootstrap's
+        init_pt/init_ls (initialization.cpp:133-140)."""
         pl = self.cfg.pipeline
-        if pl.has_pt:
+        if use_pt is None:
+            use_pt = pl.has_pt
+        if use_ls is None:
+            use_ls = pl.has_ls
+        if use_pt:
             grid = detection.detect_fast_grid(
                 pyr[: pl.n_pyr_levels], cell_size=pl.grid_size,
                 score_threshold=pl.triang_min_corner_score)
@@ -227,7 +233,7 @@ class FrameHandlerMono:
                 score=jnp.zeros(n_cells, jnp.float32),
                 valid=jnp.zeros(n_cells, bool))
         segs = None
-        if pl.has_ls:
+        if use_ls:
             # detect on level 1 (half res) — the Hough accumulator scatter
             # is 4x cheaper and endpoint precision is refined downstream by
             # the depth filter's subpixel alignment anyway
@@ -245,7 +251,9 @@ class FrameHandlerMono:
         frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
                                  np.eye(3, dtype=np.float32),
                                  np.zeros(3, np.float32))
-        grid, segs = self._detect_features(pyr)
+        grid, segs = self._detect_features(
+            pyr, use_pt=self.cfg.pipeline.has_pt and self.cfg.pipeline.init_pt,
+            use_ls=self.cfg.pipeline.has_ls and self.cfg.pipeline.init_ls)
         uv = np.asarray(grid.uv)
         valid = np.asarray(grid.valid)
         klt_targets = [uv[valid]]
@@ -429,6 +437,8 @@ class FrameHandlerMono:
             max_segs_out=self.cfg.caps.max_segs,
             n_line_samples=self.cfg.caps.n_line_samples,
             poseopt_iters=pl.poseoptim_num_iter,
+            poseopt_iters_ref=(pl.poseoptim_num_iter_ref
+                               if pl.has_refinement else 0),
             poseopt_thresh=pl.poseoptim_thresh,
             n_pyr_use=pl.n_pyr_levels, has_ls=pl.has_ls,
             n_struct_pts=pl.structureoptim_max_pts,
@@ -463,6 +473,7 @@ class FrameHandlerMono:
             max_seed_kfs=pl.max_seed_kfs,
             sigma_conv_factor=pl.seed_convergence_sigma2_thresh,
             seed_search_budget=pl.seed_search_budget,
+            n_epi_steps=pl.epi_max_steps,
             n_pyr_seed=pl.n_pyr_levels,
             pt_width=self._live_width(self._seed_alive, caps.max_seeds, 128),
             ln_width=self._live_width(self._lnseed_alive,

@@ -212,7 +212,7 @@ def _unproject(uv, fx, fy, cx, cy):
 
 @partial(jax.jit, static_argnames=(
     "levels", "n_iter_align", "patch_align", "cell_size", "cell_size_segs",
-    "max_pts_out", "max_segs_out", "n_line_samples", "poseopt_iters",
+    "max_pts_out", "max_segs_out", "n_line_samples", "poseopt_iters", "poseopt_iters_ref",
     "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_core(
@@ -235,6 +235,7 @@ def track_frame_core(
     max_segs_out: int = 96,
     n_line_samples: int = 8,
     poseopt_iters: int = 10,
+    poseopt_iters_ref: int = 0,
     poseopt_thresh: float = 2.0,
     n_pyr_use: int = 3,
     has_ls: bool = True,
@@ -313,7 +314,7 @@ def track_frame_core(
         seg_spos_w=seg_spos, seg_epos_w=seg_epos, seg_valid=seg_valid_po)
     pres = pose_opt.optimize_pose(
         inp, R_cur, t_cur, fx, n_iter=poseopt_iters,
-        reproj_thresh=poseopt_thresh)
+        n_iter_ref=poseopt_iters_ref, reproj_thresh=poseopt_thresh)
 
     # ---- 4. structure optimization (frame_handler_base.cpp:202-237):
     # top-K least-recently-optimized landmarks among this frame's matches ----
@@ -478,11 +479,11 @@ def build_next_inputs(res: FusedResult, mt: MapTables,
 
 @partial(jax.jit, static_argnames=(
     "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "seed_search_budget",
+    "seed_search_budget", "n_epi_steps",
     "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_step(
     last_pyr, cur_pyr, kf_pyr,
@@ -531,10 +532,10 @@ def track_frame_step(
 
 @partial(jax.jit, static_argnames=(
     "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "seed_search_budget", "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
+    "seed_search_budget", "n_epi_steps", "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_step_tables(
     last_pyr, cur_pyr, kf_pyr,
@@ -576,6 +577,7 @@ def _track_frame_step_impl(
     pt_width=None,
     ln_width=None,
     seed_search_budget: int = 0,
+    n_epi_steps: int = 64,
     **kw,
 ) -> FullStepResult:
     from plsvo_tpu.ops import depth_filter as df
@@ -597,7 +599,8 @@ def _track_frame_step_impl(
     seed_pyrs = (kf_seed, cur_pyr[:n_pyr_seed])
     skw = dict(max_seed_kfs=max_seed_kfs,
                sigma_conv_factor=sigma_conv_factor,
-               max_search=seed_search_budget)
+               max_search=seed_search_budget,
+               n_epi_steps=n_epi_steps)
 
     # seed tables are processed only up to the live prefix (free slots are
     # allocated lowest-first, so alive rows cluster at the front; the host
@@ -654,11 +657,11 @@ def _track_frame_step_impl(
 @partial(jax.jit, static_argnames=(
     "n_pyr_total",
     "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "seed_search_budget", "sigma_conv_factor", "n_pyr_seed",
+    "seed_search_budget", "n_epi_steps", "sigma_conv_factor", "n_pyr_seed",
     "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frames_burst(
     last_pyr,  # previous frame's pyramid (tuple of (h,w), all levels)
@@ -714,11 +717,11 @@ def track_frames_burst(
 @partial(jax.jit, static_argnames=(
     "mesh", "mesh_axis",
     "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "seed_search_budget",
+    "seed_search_budget", "n_epi_steps",
     "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_step_list(
     per_seq_inputs,  # tuple over sequences of (last_pyr, cur_pyr, kf_pyr,
@@ -776,10 +779,10 @@ def _make_shard(mesh, mesh_axis):
 @partial(jax.jit, static_argnames=(
     "mesh", "mesh_axis",
     "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "seed_search_budget", "sigma_conv_factor", "n_pyr_seed", "pt_width", "ln_width",
+    "seed_search_budget", "n_epi_steps", "sigma_conv_factor", "n_pyr_seed", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_step_tables_list(
     per_seq_inputs,  # tuple over sequences of (last_pyr, cur_pyr, kf_pyr,
@@ -818,7 +821,7 @@ def track_frame_step_tables_list(
 @partial(jax.jit, static_argnames=(
     "specs", "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_core_blob(
     last_pyr, cur_pyr, kf_pyr,

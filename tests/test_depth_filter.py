@@ -132,3 +132,103 @@ def test_seed_age_out():
     # batches 0..3 are older than 3 batches before counter 7 -> dead
     alive = np.asarray(res.seeds.alive)
     assert not alive[:4].any()
+
+
+def _detect_seed_points(rng, scene, R0, t0, n=64):
+    img0, _ = synthetic.render_aa(scene, CAM, R0, t0)
+    pyr0 = build_pyramid(img0, 4)
+    grid = detection.detect_fast_grid(pyr0, cell_size=20)
+    order = np.argsort(-np.asarray(grid.score))[:n]
+    uv = np.asarray(grid.uv)[order]
+    v = np.asarray(grid.valid)[order]
+    lvl = np.asarray(grid.level)[order]
+    f = np.asarray(CAM.unproject(jnp.asarray(uv)))
+    z_gt = np.asarray(synthetic.depth_at(
+        scene, CAM, jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(uv)))
+    return pyr0, uv, v, lvl, f, z_gt
+
+
+def test_long_band_search_covers_whole_band(rng):
+    """A wide-sigma seed whose epipolar band exceeds the search window at
+    its natural level bumps to a coarser level and still finds the true
+    match (VERDICT missing #6: the old fixed-prefix search fed wrong-Bayes
+    measurements for long bands; reference walks the WHOLE band,
+    matcher.cpp:347-360)."""
+    scene = synthetic.make_scene(rng, size=1024, texel_size=0.004)
+    R0 = np.eye(3, dtype=np.float32)
+    t0 = np.array([0.0, 0.0, -2.0], np.float32)
+    pyr0, uv, v, lvl, f, z_gt = _detect_seed_points(rng, scene, R0, t0)
+    S = len(uv)
+    rng_gt = z_gt / f[:, 2]
+
+    # wide prior: inverse-depth interval ~[0.05, 0.95] around the truth
+    mu0 = 1.0 / rng_gt
+    sigma = np.minimum(mu0 - 0.05, 0.95 - mu0)
+    sigma = np.maximum(sigma, 0.25)
+    seeds = df.PointSeeds(
+        kf_idx=jnp.zeros(S, jnp.int32),
+        uv=jnp.asarray(uv, jnp.float32), f=jnp.asarray(f, jnp.float32),
+        level=jnp.asarray(lvl, jnp.int32),
+        mu=jnp.asarray(mu0, jnp.float32),
+        sigma2=jnp.asarray(sigma ** 2, jnp.float32),
+        z_range=jnp.full((S,), 20.0),
+        a=jnp.full((S,), 10.0), b=jnp.full((S,), 10.0),
+        batch_id=jnp.zeros(S, jnp.int32), alive=jnp.asarray(v))
+
+    # large baseline -> level-0 band ~ fx*b*(i_max-i_min) ~ 135 px > 64
+    t_i = t0 + np.asarray([0.6, 0.0, 0.0], np.float32)
+    img_i, _ = synthetic.render_aa(scene, CAM, np.eye(3, dtype=np.float32),
+                                   t_i)
+    pyr_i = build_pyramid(img_i, 4)
+    res = df.update_point_seeds(
+        seeds, jnp.asarray(R0)[None], jnp.asarray(t0)[None],
+        [p[None] for p in pyr0], pyr_i,
+        jnp.eye(3), jnp.asarray(t_i),
+        CAM.fx, CAM.fy, CAM.cx, CAM.cy, jnp.asarray(0, jnp.int32),
+        n_epi_steps=64)
+    matched = np.asarray(res.matched)
+    assert matched.sum() >= 0.3 * v.sum(), matched.sum()
+    # the Bayes posterior moved toward the truth for matched seeds
+    mu_new = np.asarray(res.seeds.mu)[matched]
+    err_new = np.abs(1.0 / mu_new - rng_gt[matched]) / rng_gt[matched]
+    assert np.median(err_new) < 0.1, np.median(err_new)
+
+
+def test_too_long_band_fails_with_outlier_penalty(rng):
+    """Bands that exceed the window even at the coarsest level take the
+    reference's failed-match b+1 penalty and NO measurement
+    (matcher.cpp:352-356 skip; depth_filter.cpp:311-317 b++)."""
+    scene = synthetic.make_scene(rng, size=1024, texel_size=0.004)
+    R0 = np.eye(3, dtype=np.float32)
+    t0 = np.array([0.0, 0.0, -2.0], np.float32)
+    pyr0, uv, v, lvl, f, z_gt = _detect_seed_points(rng, scene, R0, t0)
+    S = len(uv)
+    seeds = df.PointSeeds(
+        kf_idx=jnp.zeros(S, jnp.int32),
+        uv=jnp.asarray(uv, jnp.float32), f=jnp.asarray(f, jnp.float32),
+        level=jnp.asarray(lvl, jnp.int32),
+        mu=jnp.full((S,), 0.505), sigma2=jnp.full((S,), 0.495 ** 2),
+        z_range=jnp.full((S,), 100.0),
+        a=jnp.full((S,), 10.0), b=jnp.full((S,), 10.0),
+        batch_id=jnp.zeros(S, jnp.int32), alive=jnp.asarray(v))
+    # band ~ 250 * 1.6 * 0.99 ~ 400+ px level-0 -> >= 100 px at level 2,
+    # over the 64-step window even at the coarsest of the 3 seed levels
+    # (the pipeline searches n_pyr_levels=3 levels, config.py)
+    t_i = t0 + np.asarray([1.6, 0.0, 0.0], np.float32)
+    img_i, _ = synthetic.render_aa(scene, CAM, np.eye(3, dtype=np.float32),
+                                   t_i)
+    pyr_i = build_pyramid(img_i, 4)
+    res = df.update_point_seeds(
+        seeds, jnp.asarray(R0)[None], jnp.asarray(t0)[None],
+        [p[None] for p in pyr0[:3]], pyr_i[:3],
+        jnp.eye(3), jnp.asarray(t_i),
+        CAM.fx, CAM.fy, CAM.cx, CAM.cy, jnp.asarray(0, jnp.int32),
+        n_epi_steps=64)
+    assert not np.asarray(res.matched).any()
+    # no measurement was applied anywhere
+    np.testing.assert_array_equal(np.asarray(res.seeds.mu),
+                                  np.asarray(seeds.mu))
+    # visible-but-unsearchable seeds took the outlier penalty
+    db = np.asarray(res.seeds.b) - np.asarray(seeds.b)
+    assert (db == 1.0).sum() >= 5
+    assert np.isin(db, [0.0, 1.0]).all()

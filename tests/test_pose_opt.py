@@ -193,3 +193,36 @@ def test_line_jacobian_sign_finite_difference(rng):
         _, _, ek, _ = _seg_errors(Rk, tk, inp)
         fd = (np.asarray(ek)[:, 0] - np.asarray(e0)[:, 0]) / eps
         np.testing.assert_allclose(row_s[:, k], fd, atol=5e-2, rtol=0.05)
+
+
+def test_pose_refinement_phase_improves_with_outliers(rng):
+    """The inlier-only refinement overload (pose_optimizer.cpp:469-563):
+    with gross outliers present, a refinement phase run on the stripped
+    inlier set must not be worse than the plain solve, and its inlier set
+    must exclude the corrupted observations."""
+    pts, sp, ep = make_world(rng, n_pts=96, n_segs=16)
+    xi = np.asarray([0.04, -0.02, 0.02, 0.01, -0.015, 0.01], np.float32)
+    R_gt, t_gt = lie.se3_exp(jnp.asarray(xi))
+    inp = build_inputs(rng, R_gt, t_gt, pts, sp, ep, px_noise=0.3)
+    # corrupt 15% of point observations
+    f = np.array(inp.pt_f)
+    bad = rng.choice(len(pts), size=14, replace=False)
+    f[bad, :2] += rng.normal(0, 40.0 / 250.0, (14, 2))
+    inp = inp._replace(pt_f=jnp.asarray(f / np.linalg.norm(
+        f, axis=-1, keepdims=True)))
+    dxi = np.asarray([0.004, 0.003, -0.002, 0.001, 0.002, -0.001], np.float32)
+    dR, dt = lie.se3_exp(jnp.asarray(dxi))
+    R0, t0 = lie.compose(dR, dt, R_gt, t_gt)
+
+    base = pose_opt.optimize_pose(inp, R0, t0, jnp.asarray(250.0),
+                                  n_iter=10)
+    ref = pose_opt.optimize_pose(inp, R0, t0, jnp.asarray(250.0),
+                                 n_iter=10, n_iter_ref=3)
+
+    def t_err(res):
+        return float(np.linalg.norm(np.asarray(res.t) - np.asarray(t_gt)))
+
+    assert t_err(ref) <= t_err(base) * 1.2 + 1e-6
+    assert t_err(ref) < 5e-3
+    # corrupted observations are outliers in the refined classification
+    assert not np.asarray(ref.pt_inlier)[bad].any()
