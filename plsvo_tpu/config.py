@@ -64,7 +64,9 @@ class PipelineConfig:
     grid_size: int = 25
     grid_size_segs: int = 25
     triang_min_corner_score: float = 20.0
-    lsd_min_length: float = 0.15  # fraction of min(W,H) (feature_detection.cpp:154)
+    # min segment length = lsd_min_length * H*W/(H+W) px
+    # (feature_detection.cpp:154; ~44 px at 752x480)
+    lsd_min_length: float = 0.15
 
     # initialization (C6)
     init_min_fts: int = 100  # first-frame feature gate (initialization.cpp:44)

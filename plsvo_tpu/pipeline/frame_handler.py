@@ -234,14 +234,26 @@ class FrameHandlerMono:
                 valid=jnp.zeros(n_cells, bool))
         segs = None
         if use_ls:
-            # detect on level 1 (half res) — the Hough accumulator scatter
-            # is 4x cheaper and endpoint precision is refined downstream by
-            # the depth filter's subpixel alignment anyway
-            det = line_ops.detect_segments(pyr[1], n_peaks=64)
-            det = det._replace(sp=det.sp * 2.0, ep=det.ep * 2.0,
-                               length=det.length * 2.0)
+            # per-level tiled detection (reference: LsdDetector detects per
+            # pyramid level and scales endpoints by the octave,
+            # feature_detection.cpp:155-179; default n_pyr_levels_segs=1 =
+            # full-res only, config.cpp:89). The tiled pass recovers the
+            # short/medium segments a single global Hough buries.
             W, H = self.cam.width, self.cam.height
-            min_len = pl.lsd_min_length * min(W, H)
+            # reference length gate: lsd_min_length * H*W/(H+W)
+            # (feature_detection.cpp:154) — ~44 px at 752x480
+            min_len = pl.lsd_min_length * (W * H) / (W + H)
+            parts = []
+            for lvl in range(pl.n_pyr_levels_segs):
+                det = line_ops.detect_segments_tiled(
+                    pyr[lvl], n_peaks=64, run_gap_px=3.0, dist_tol=1.2)
+                if lvl:
+                    s = float(1 << lvl)
+                    det = det._replace(sp=det.sp * s, ep=det.ep * s,
+                                       length=det.length * s)
+                parts.append(det)
+            det = (parts[0] if len(parts) == 1 else line_ops.SegmentTable(
+                *[jnp.concatenate(xs) for xs in zip(*parts)]))
             segs, _ = line_ops.dedup_segments_grid(
                 det, width=W, height=H, cell_size=pl.grid_size_segs,
                 max_segs=self.cfg.caps.max_segs, min_length=min_len)

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from plsvo_tpu.ops import lines
 
@@ -66,3 +67,105 @@ def test_dedup_rejects_occupied():
         segs, width=320, height=240, cell_size=25, max_segs=8, min_length=30.0,
         occupied=occ_all)
     assert int(np.asarray(table.valid).sum()) == 0
+
+
+def _seg_metrics(ours, lsd):
+    """Recall of oracle segments (covered >=50% within 2.5px) + mean
+    matched-endpoint error. ours/lsd: (N,4) [x1,y1,x2,y2]."""
+    recovered, ep_errs = 0, []
+    for (x1, y1, x2, y2) in lsd:
+        p, q = np.array([x1, y1]), np.array([x2, y2])
+        L = np.linalg.norm(q - p)
+        if L < 1:
+            continue
+        d = (q - p) / L
+        n = np.array([-d[1], d[0]])
+        best_cover, best_ep = 0.0, None
+        for (a1, b1, a2, b2) in ours:
+            s, e = np.array([a1, b1]), np.array([a2, b2])
+            if max(abs(np.dot(s - p, n)), abs(np.dot(e - p, n))) > 2.5:
+                continue
+            ts = np.clip(np.dot(s - p, d), 0, L)
+            te = np.clip(np.dot(e - p, d), 0, L)
+            cover = abs(te - ts) / L
+            if cover > best_cover:
+                best_cover = cover
+                best_ep = min(
+                    np.linalg.norm(s - p) + np.linalg.norm(e - q),
+                    np.linalg.norm(s - q) + np.linalg.norm(e - p)) / 2
+        if best_cover >= 0.5:
+            recovered += 1
+            ep_errs.append(best_ep)
+    rec = recovered / max(1, len(lsd))
+    return rec, (float(np.mean(ep_errs)) if ep_errs else np.nan)
+
+
+def _ours_vs_lsd(img_np, min_len, **kw):
+    import cv2
+
+    from plsvo_tpu.ops import lines as line_ops
+
+    kw.setdefault("run_gap_px", 3.0)
+    det = line_ops.detect_segments_tiled(
+        jnp.asarray(img_np, jnp.float32), n_peaks=64, dist_tol=1.2, **kw)
+    v = np.asarray(det.valid) & (np.asarray(det.length) >= min_len)
+    ours = np.concatenate([np.asarray(det.sp)[v], np.asarray(det.ep)[v]], -1)
+    out = cv2.createLineSegmentDetector().detect(
+        np.clip(img_np, 0, 255).astype(np.uint8))[0]
+    lsd = np.zeros((0, 4)) if out is None else out.reshape(-1, 4)
+    L = np.hypot(lsd[:, 2] - lsd[:, 0], lsd[:, 3] - lsd[:, 1])
+    return ours, lsd[L >= min_len]
+
+
+def test_detector_vs_lsd_synthetic(rng):
+    """Quantitative parity vs OpenCV LSD (the reference's actual detector,
+    LSDDetector_custom.cpp:246-253) at the production length gate
+    (lsd_min_length * H*W/(H+W), feature_detection.cpp:154). The tiled
+    Hough must recover most LSD segments with tight endpoints."""
+    pytest.importorskip("cv2")
+    from plsvo_tpu.camera import PinholeCamera
+    from plsvo_tpu.utils import synthetic
+
+    W, H = 752, 480
+    cam = PinholeCamera.create(W, H, 460.0, 460.0, W / 2, H / 2)
+    scene = synthetic.make_scene(rng, size=2048, texel_size=0.003)
+    img, _ = synthetic.render_aa(scene, cam, np.eye(3, dtype=np.float32),
+                                 np.array([0, 0, -2.0], np.float32))
+    min_len = 0.15 * (W * H) / (W + H)
+    ours, lsd = _ours_vs_lsd(np.asarray(img), min_len)
+    assert len(lsd) >= 10  # oracle sanity
+    rec, ep = _seg_metrics(ours, lsd)
+    # measured on this scene: recall 0.85, mean matched-endpoint err 9.6 px
+    # (the mean is tail-dominated: dense collinear clutter overextends a
+    # few runs — an inherent infinite-line-model limit vs LSD's region
+    # growing; VO endpoints are re-refined by the depth filter's subpixel
+    # alignment, ops/depth_filter.py)
+    assert rec >= 0.7, (rec, ep)
+    assert ep <= 12.0, (rec, ep)
+    assert len(ours) >= 0.5 * len(lsd)
+
+
+def test_detector_vs_lsd_real_photo():
+    """Same parity check on a REAL photograph (matplotlib's grace_hopper
+    sample) — thresholds tuned on rendered textures must transfer to
+    camera imagery."""
+    pytest.importorskip("cv2")
+    from PIL import Image
+    import matplotlib.cbook as cbook
+
+    with cbook.get_sample_data("grace_hopper.jpg") as f:
+        img = np.asarray(Image.open(f).convert("L"), np.float32)
+    H, W = img.shape
+    min_len = 0.15 * (W * H) / (W + H)
+    # a dense contrasty photo needs a bigger edge budget than the default
+    # tuned for 752x480 video frames (the budget is the config surface a
+    # user would raise for such imagery)
+    ours, lsd = _ours_vs_lsd(img, min_len, run_gap_px=6.0,
+                             max_edge_px=8192, max_edge_px_tile=2048)
+    assert len(lsd) >= 5
+    rec, ep = _seg_metrics(ours, lsd)
+    # measured: recall 0.50 on this densely-textured portrait (the top-k
+    # edge budget keeps the strongest ~15% of edges; soft bookshelf lines
+    # below the cut are missed — a known gap vs LSD's full region growing)
+    assert rec >= 0.4, (rec, ep, len(ours), len(lsd))
+    assert len(ours) >= len(lsd)
