@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
@@ -178,6 +179,25 @@ class ATANCamera:
             & (uv[..., 0] < self.width * scale - border)
             & (uv[..., 1] < self.height * scale - border)
         )
+
+    @property
+    def has_distortion(self) -> bool:
+        return bool(np.abs(np.asarray(self.w)) > 1e-8)
+
+    def ideal(self) -> "PinholeCamera":
+        """The undistorted pinhole the VO runs on after undistort-once
+        (reference: vk::ATANCamera's undistorted image shares fx/fy/cx/cy;
+        app/run_pipeline.cpp:788-792 builds the 'ideal' camera the same
+        way for both models)."""
+        return PinholeCamera.create(
+            self.width, self.height, float(np.asarray(self.fx)),
+            float(np.asarray(self.fy)), float(np.asarray(self.cx)),
+            float(np.asarray(self.cy)))
+
+    def distort(self, uv_n: jnp.ndarray) -> jnp.ndarray:
+        """Unit-plane ideal -> distorted normalized coords (FOV model)."""
+        r = jnp.linalg.norm(uv_n, axis=-1)
+        return uv_n * self._rd_factor(r)[..., None]
 
 
 def project2d(xyz: jnp.ndarray) -> jnp.ndarray:

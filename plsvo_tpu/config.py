@@ -60,6 +60,16 @@ class PipelineConfig:
     kfselect_mindist_t: float = 0.06
     kfselect_mindist_r: float = 3.0  # degrees
 
+    # edgelet features (C3/C5/C9). The reference DEFINES the EDGELET class
+    # with a dominant gradient direction (feature.h:54-73) and routes it
+    # through align1D in the matcher (matcher.cpp:191-207), but its
+    # detector never creates one — the class is dead there. Here grid
+    # cells that FAST leaves empty spawn an edgelet seed at the strongest-
+    # gradient pixel (SVO-2 style), and edgelet landmarks refine via the
+    # batched align1D along the warped direction.
+    use_edgelets: bool = True
+    edgelet_grad_thresh: float = 20.0  # min |∇I| for an edgelet cell
+
     # detection grids
     grid_size: int = 25
     grid_size_segs: int = 25
@@ -122,6 +132,18 @@ class PipelineConfig:
     # (reference's bounded mapping queue drops under load,
     # depth_filter.cpp:116-131). 0 = search every seed.
     seed_search_budget: int = 128
+
+    # windowed local bundle adjustment at keyframes (C16). The reference
+    # intends this (#ifdef USE_BUNDLE_ADJUSTMENT ba::localBA,
+    # frame_handler_mono.cpp:380-383 / bundle_adjustment.cpp:124-255) but
+    # ships it dead (never built); here it is real and ON by default:
+    # core = FoV-overlapping keyframes of the new KF (free), all other
+    # keyframes fixed, landmarks restricted to the window's observations.
+    # In pipelined/burst execution the result write-back is deferred into
+    # the next drain window (the reference's asynchronous mapping thread
+    # has the same lag).
+    loba_enabled: bool = True
+    loba_num_iter: int = 5
 
     # epipolar search (C9): width of the sliding ZMSSD window in px at the
     # search level. Bands longer than this bump to a coarser pyramid level

@@ -301,15 +301,46 @@ def update_point_seeds(
             search_valid, fx, fy, cx, cy, patch_size=patch_size,
             n_steps=n_epi_steps)
 
-    # subpixel refinement at the search level, then triangulate
-    from plsvo_tpu.ops.feature_align import align2d_atlas
+    # subpixel refinement at the search level, then triangulate.
+    # 1-D patches (edgelets / points on straight edges): align2D's Hessian
+    # is singular along the edge, so those refine with align1D along the
+    # EPIPOLAR direction instead (the reference's options_.align_1d path,
+    # matcher.cpp:326-334/397-404), and edge-parallel-to-epipolar seeds are
+    # rejected outright with the outlier penalty (edgelet filtering,
+    # matcher.cpp:303-311, |cos| < 0.7). The 1-D test is data-driven from
+    # the warped patch's structure tensor — it needs no feature-type column
+    # and also covers line-endpoint seeds lying on straight lines.
+    from plsvo_tpu.ops.feature_align import align_mixed_atlas
 
-    res = align2d_atlas(
+    gxx = jnp.sum(ref_dx * ref_dx, -1)
+    gxy = jnp.sum(ref_dx * ref_dy, -1)
+    gyy = jnp.sum(ref_dy * ref_dy, -1)
+    tr = gxx + gyy
+    disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * (gxx * gyy - gxy * gxy),
+                                0.0))
+    eig_max = 0.5 * (tr + disc)
+    eig_min = 0.5 * (tr - disc)
+    is_1d = eig_min < 0.05 * jnp.maximum(eig_max, 1e-12)
+    # dominant gradient direction = eigenvector of the max eigenvalue
+    gdir = jnp.stack([gxy, eig_max - gxx], -1)
+    alt = jnp.stack([eig_max - gyy, gxy], -1)
+    use_alt = jnp.linalg.norm(gdir, axis=-1) < 1e-8
+    gdir = jnp.where(use_alt[:, None], alt, gdir)
+    gdir = gdir / jnp.maximum(
+        jnp.linalg.norm(gdir, axis=-1, keepdims=True), 1e-12)
+    d_epi = _proj0(xyz_near) - _proj0(xyz_far)
+    d_epi = d_epi / jnp.maximum(
+        jnp.linalg.norm(d_epi, axis=-1, keepdims=True), 1e-12)
+    cosang = jnp.abs(jnp.sum(gdir * d_epi, -1))
+    edge_reject = is_1d & (cosang < 0.7)
+    ok_ref = epi.ok & ~edge_reject
+
+    res = align_mixed_atlas(
         cur_atlas, cxo, cso, ref_patch, ref_dx, ref_dy, epi.uv_level,
-        slevel, epi.ok, patch_size=patch_size, n_iter=10)
+        d_epi, is_1d, slevel, ok_ref, patch_size=patch_size, n_iter=10)
     scale_back = (1 << slevel).astype(f32)
     uv0 = res.uv * scale_back[:, None]
-    matched = epi.ok & res.converged
+    matched = ok_ref & res.converged
 
     # bearing of the refined match in the CUR frame
     x_n = (uv0[:, 0] - cx) / fx

@@ -179,6 +179,83 @@ def detect_fast_grid(
     )
 
 
+class EdgeletGrid(NamedTuple):
+    """Per-grid-cell winning edgelet: the strongest-gradient pixel of each
+    cell with its dominant gradient direction (normal to the edge)."""
+
+    uv: jnp.ndarray  # (C, 2) float32, level-0 pixel coords
+    level: jnp.ndarray  # (C,) int32 (always 0 for now)
+    grad_dir: jnp.ndarray  # (C, 2) float32 unit gradient direction
+    mag: jnp.ndarray  # (C,) float32 gradient magnitude
+    valid: jnp.ndarray  # (C,) bool
+
+
+@partial(jax.jit, static_argnames=("cell_size",))
+def detect_edgelets_grid(
+    img: jnp.ndarray,
+    *,
+    cell_size: int = 25,
+    mag_threshold: float = 30.0,
+) -> EdgeletGrid:
+    """Best edgelet per grid cell: the max-|∇I| pixel, with the normalized
+    gradient as the feature's dominant direction.
+
+    The reference defines the EDGELET feature class with a dominant
+    gradient direction (feature.h:54-73) and routes it through align1D in
+    the matcher (matcher.cpp:191-207) — but its own FastDetector never
+    CREATES edgelets, so the class is dead on arrival there. This detector
+    populates it (the SVO-2 style gradient-cell detector): cells that FAST
+    leaves empty get an edge feature when the texture is 1-D. Pure
+    reshape/reduce — no scatters."""
+    H, W = img.shape
+    nx, ny, n_cells = grid_cells(W, H, cell_size)
+    from plsvo_tpu.image import gradient
+
+    dx, dy = gradient(img)
+    mag = dx * dx + dy * dy
+    # kill the border (no central difference support / patch room)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inner = (yy >= 4) & (yy < H - 4) & (xx >= 4) & (xx < W - 4)
+    # reject candidates whose matching patch touches INVALID (≈0) pixels:
+    # the content/void boundary (undistortion borders, synthetic scene
+    # edges) is the strongest gradient in the image and is view-dependent —
+    # an edgelet there can never be matched. Separable 9x9 min filter.
+    vmin = img
+    for ax in (0, 1):
+        m1 = vmin
+        for s in range(1, 5):
+            m1 = jnp.minimum(m1, jnp.roll(vmin, s, axis=ax))
+            m1 = jnp.minimum(m1, jnp.roll(vmin, -s, axis=ax))
+        vmin = m1
+    inner = inner & (vmin > 0.5)
+    m = jnp.where(inner, mag, -jnp.inf)
+
+    T = cell_size
+    mp = jnp.pad(m, ((0, ny * T - H), (0, nx * T - W)),
+                 constant_values=-jnp.inf)
+    tiles = mp.reshape(ny, T, nx, T)
+    tmax = tiles.max(axis=(1, 3))  # (ny, nx)
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (ny * T, nx * T), 0)
+           * (nx * T)
+           + jax.lax.broadcasted_iota(jnp.int32, (ny * T, nx * T), 1))
+    idx_t = idx.reshape(ny, T, nx, T)
+    is_w = (tiles == tmax[:, None, :, None]) & jnp.isfinite(tiles)
+    widx = jnp.where(is_w, idx_t, jnp.iinfo(jnp.int32).max).min(axis=(1, 3))
+    has = jnp.isfinite(tmax) & (tmax > mag_threshold * mag_threshold)
+    wi = jnp.where(has, widx, 0).ravel()
+    u = (wi % (nx * T)).astype(jnp.float32)
+    v = (wi // (nx * T)).astype(jnp.float32)
+    vi = jnp.clip(v.astype(jnp.int32), 0, H - 1)
+    ui = jnp.clip(u.astype(jnp.int32), 0, W - 1)
+    g = jnp.stack([dx[vi, ui], dy[vi, ui]], -1)
+    g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
+    return EdgeletGrid(
+        uv=jnp.stack([u, v], -1), level=jnp.zeros(n_cells, jnp.int32),
+        grad_dir=g, mag=jnp.sqrt(jnp.maximum(tmax.ravel(), 0.0)),
+        valid=has.ravel())
+
+
 @partial(jax.jit, static_argnames=("width", "height", "cell_size"))
 def occupancy_from_positions(
     uv: jnp.ndarray, valid: jnp.ndarray, width: int, height: int, cell_size: int

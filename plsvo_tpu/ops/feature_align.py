@@ -157,6 +157,75 @@ def align1d(
 
 
 @partial(jax.jit, static_argnames=("patch_size", "n_iter"))
+def align1d_atlas(
+    atlas: jnp.ndarray,
+    x_off: jnp.ndarray,
+    sizes: jnp.ndarray,
+    ref_patch: jnp.ndarray,  # (N, P)
+    ref_dx: jnp.ndarray,
+    ref_dy: jnp.ndarray,
+    uv_init: jnp.ndarray,  # (N,2) in each feature's OWN level coords
+    direction: jnp.ndarray,  # (N,2) unit search direction (edge normal)
+    level: jnp.ndarray,  # (N,) int32
+    valid: jnp.ndarray,
+    *,
+    patch_size: int = 8,
+    n_iter: int = 10,
+    conv_eps: float = 0.03,
+) -> AlignOut:
+    """align1d with per-feature pyramid levels through the atlas + the
+    window-prefetch trick of align2d_atlas (one gather before the loop,
+    gather-free iterations). Used for EDGELET features — refinement moves
+    only along the warped dominant-gradient direction (reference:
+    Matcher::findMatchDirect EDGELET branch, matcher.cpp:191-207 +
+    feature_alignment.cpp:41-158)."""
+    from plsvo_tpu.image import (gather_patch_windows_atlas,
+                                 sample_patch_windows)
+
+    N, P = ref_patch.shape
+    f32 = jnp.float32
+    margin = 4
+    wp = patch_size + 1 + 2 * margin
+    wp += wp % 2
+    d = direction / jnp.maximum(
+        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-8)
+    dgrad = ref_dx * d[:, 0:1] + ref_dy * d[:, 1:2]
+    ones = jnp.ones_like(dgrad)
+    J = jnp.stack([dgrad, ones], axis=-1)  # (N,P,2)
+    H = jnp.einsum("npi,npj->nij", J, J)
+    Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(2, dtype=f32))
+    win, corner = gather_patch_windows_atlas(
+        atlas, x_off, uv_init.astype(f32), level, wp)
+    wh = (sizes[level, 1].astype(f32), sizes[level, 0].astype(f32))
+
+    def cond(carry):
+        it, dist, mean_diff, conv, active_any = carry
+        return (it < n_iter) & active_any
+
+    def body(carry):
+        it, dist, mean_diff, conv, _ = carry
+        uv = uv_init + dist[:, None] * d
+        I_cur, in_frame = sample_patch_windows(win, corner, uv, patch_size,
+                                               wh=wh)
+        r = I_cur - ref_patch + mean_diff[:, None]
+        b = jnp.einsum("npi,np->ni", J, r)
+        upd = jnp.einsum("nij,nj->ni", Hinv, b)
+        active = valid & in_frame & jnp.logical_not(conv)
+        dist_new = jnp.where(active, dist - upd[:, 0], dist)
+        md_new = jnp.where(active, mean_diff - upd[:, 1], mean_diff)
+        conv_new = conv | (active & (jnp.abs(upd[:, 0]) < conv_eps))
+        still = jnp.any(valid & in_frame & jnp.logical_not(conv_new))
+        return (it + 1, dist_new, md_new, conv_new, still)
+
+    init = (jnp.zeros((), jnp.int32), jnp.zeros((N,), f32),
+            jnp.zeros((N,), f32), jnp.zeros((N,), bool), jnp.asarray(True))
+    _, dist, md, conv, _ = jax.lax.while_loop(cond, body, init)
+    uv = uv_init + dist[:, None] * d
+    _, ok = sample_patch_windows(win, corner, uv, patch_size, wh=wh)
+    return AlignOut(uv=uv, converged=conv & valid & ok, mean_diff=md)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_iter"))
 def align2d_atlas(
     atlas: jnp.ndarray,  # (H, Wa) packed pyramid (image.pack_pyramid_atlas)
     x_off: jnp.ndarray,  # (L,)
@@ -212,6 +281,82 @@ def align2d_atlas(
         uv_new = jnp.where(active[:, None], uv - upd[:, :2], uv)
         md_new = jnp.where(active, mean_diff - upd[:, 2], mean_diff)
         conv_new = conv | (active & (jnp.linalg.norm(upd[:, :2], axis=-1) < conv_eps))
+        still = jnp.any(valid & in_frame & jnp.logical_not(conv_new))
+        return (it + 1, uv_new, md_new, conv_new, still)
+
+    init = (jnp.zeros((), jnp.int32), uv_init.astype(f32),
+            jnp.zeros((N,), f32), jnp.zeros((N,), bool), jnp.asarray(True))
+    _, uv, md, conv, _ = jax.lax.while_loop(cond, body, init)
+    _, ok = sample_patch_windows(win, corner, uv, patch_size, wh=wh)
+    return AlignOut(uv=uv, converged=conv & valid & ok, mean_diff=md)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "n_iter"))
+def align_mixed_atlas(
+    atlas: jnp.ndarray,
+    x_off: jnp.ndarray,
+    sizes: jnp.ndarray,
+    ref_patch: jnp.ndarray,  # (N, P)
+    ref_dx: jnp.ndarray,
+    ref_dy: jnp.ndarray,
+    uv_init: jnp.ndarray,  # (N,2) own-level coords
+    direction: jnp.ndarray,  # (N,2) 1-D search direction (rows with is_1d)
+    is_1d: jnp.ndarray,  # (N,) bool — row refines 1-D along `direction`
+    level: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    patch_size: int = 8,
+    n_iter: int = 10,
+    conv_eps: float = 0.03,
+) -> AlignOut:
+    """ONE GN loop refining 2-D rows (u,v,mean_diff) and 1-D rows
+    (dist-along-direction, mean_diff) together: the expensive per-iteration
+    window resample is shared; only the (tiny) update projection differs
+    per row. Replaces running align2d_atlas + align1d_atlas back to back
+    on complementary masks."""
+    from plsvo_tpu.image import (gather_patch_windows_atlas,
+                                 sample_patch_windows)
+
+    N, P = ref_patch.shape
+    f32 = jnp.float32
+    margin = 4
+    wp = patch_size + 1 + 2 * margin
+    wp += wp % 2
+    ones = jnp.ones_like(ref_dx)
+    J3 = jnp.stack([ref_dx, ref_dy, ones], axis=-1)  # (N,P,3)
+    H3inv = jnp.linalg.inv(
+        jnp.einsum("npi,npj->nij", J3, J3) + 1e-6 * jnp.eye(3, dtype=f32))
+    d = direction / jnp.maximum(
+        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-8)
+    dgrad = ref_dx * d[:, 0:1] + ref_dy * d[:, 1:2]
+    J1 = jnp.stack([dgrad, ones], axis=-1)  # (N,P,2)
+    H1inv = jnp.linalg.inv(
+        jnp.einsum("npi,npj->nij", J1, J1) + 1e-6 * jnp.eye(2, dtype=f32))
+    win, corner = gather_patch_windows_atlas(
+        atlas, x_off, uv_init.astype(f32), level, wp)
+    wh = (sizes[level, 1].astype(f32), sizes[level, 0].astype(f32))
+
+    def cond(carry):
+        it, uv, md, conv, active_any = carry
+        return (it < n_iter) & active_any
+
+    def body(carry):
+        it, uv, md, conv, _ = carry
+        I_cur, in_frame = sample_patch_windows(win, corner, uv, patch_size,
+                                               wh=wh)
+        r = I_cur - ref_patch + md[:, None]
+        b3 = jnp.einsum("npi,np->ni", J3, r)
+        u3 = jnp.einsum("nij,nj->ni", H3inv, b3)  # (N,3)
+        b1 = jnp.einsum("npi,np->ni", J1, r)
+        u1 = jnp.einsum("nij,nj->ni", H1inv, b1)  # (N,2)
+        d_uv = jnp.where(is_1d[:, None], u1[:, 0:1] * d, u3[:, :2])
+        d_md = jnp.where(is_1d, u1[:, 1], u3[:, 2])
+        step = jnp.where(is_1d, jnp.abs(u1[:, 0]),
+                         jnp.linalg.norm(u3[:, :2], axis=-1))
+        active = valid & in_frame & jnp.logical_not(conv)
+        uv_new = jnp.where(active[:, None], uv - d_uv, uv)
+        md_new = jnp.where(active, md - d_md, md)
+        conv_new = conv | (active & (step < conv_eps))
         still = jnp.any(valid & in_frame & jnp.logical_not(conv_new))
         return (it + 1, uv_new, md_new, conv_new, still)
 

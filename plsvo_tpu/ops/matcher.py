@@ -271,7 +271,8 @@ def find_match_direct(
 # per-level versions above; used by the pipeline hot path.
 # ---------------------------------------------------------------------------
 from plsvo_tpu.image import bilinear_sample_atlas  # noqa: E402
-from plsvo_tpu.ops.feature_align import align2d_atlas  # noqa: E402
+from plsvo_tpu.ops.feature_align import (align2d_atlas,  # noqa: E402
+                                         align_mixed_atlas)
 
 
 @partial(jax.jit, static_argnames=("patch_size",))
@@ -357,7 +358,8 @@ def epipolar_search_zmssd_atlas(
     return EpipolarResult(uv_level=uv_lvl, zmssd=best, ok=ok_out)
 
 
-@partial(jax.jit, static_argnames=("patch_size", "n_iter", "max_level"))
+@partial(jax.jit, static_argnames=("patch_size", "n_iter", "max_level",
+                                   "has_edgelets"))
 def find_match_direct_atlas(
     kf_flat,  # image.FlatAtlas of the keyframe pyramids
     cur_atlas: jnp.ndarray, cur_x_off: jnp.ndarray, cur_sizes: jnp.ndarray,
@@ -367,13 +369,21 @@ def find_match_direct_atlas(
     R_cur_ref: jnp.ndarray, t_cur_ref: jnp.ndarray,
     uv_cur_init: jnp.ndarray, valid: jnp.ndarray,
     fx, fy, cx, cy,
+    ftype: jnp.ndarray = None,  # (N,) int32: 0=corner, 1=edgelet
+    grad_dir: jnp.ndarray = None,  # (N,2) anchor-level gradient direction
     *,
     patch_size: int = 8,
     n_iter: int = 10,
     max_level: int = 2,
+    has_edgelets: bool = False,
 ) -> MatchResult:
     """find_match_direct with atlas sampling on both the anchor keyframes
-    and the current frame (single gather pass each)."""
+    and the current frame (single gather pass each).
+
+    With has_edgelets, EDGELET rows refine via align1D along the WARPED
+    dominant-gradient direction (reference: matcher.cpp:191-207
+    `dir_cur = A_cur_ref * ref_ftr->grad`), corners via align2D; the two
+    batched aligners run on complementary masks and the results merge."""
     N = uv_ref.shape[0]
     A = jax.vmap(
         lambda uv, f, d, lv, R, t: get_warp_affine(
@@ -391,10 +401,23 @@ def find_match_direct_atlas(
 
     ok0 = valid & warp_ok & A_ok
     scale = 1.0 / (1 << slevel).astype(jnp.float32)
-    res = align2d_atlas(
-        cur_atlas, cur_x_off, cur_sizes, ref_patch, ref_dx, ref_dy,
-        uv_cur_init * scale[:, None], slevel, ok0,
-        patch_size=patch_size, n_iter=n_iter)
+    if has_edgelets and ftype is not None:
+        # warp the anchor-level gradient direction into the current frame
+        # (A maps ref anchor-level offsets -> cur level-0 px offsets;
+        # direction magnitude is irrelevant after normalization); one
+        # mixed-mode GN loop refines corners 2-D and edgelets 1-D along
+        # the warped direction, sharing the window resample
+        is_edge = ftype == 1
+        d_cur = jnp.einsum("nij,nj->ni", A, grad_dir)
+        res = align_mixed_atlas(
+            cur_atlas, cur_x_off, cur_sizes, ref_patch, ref_dx, ref_dy,
+            uv_cur_init * scale[:, None], d_cur, is_edge, slevel, ok0,
+            patch_size=patch_size, n_iter=n_iter)
+    else:
+        res = align2d_atlas(
+            cur_atlas, cur_x_off, cur_sizes, ref_patch, ref_dx, ref_dy,
+            uv_cur_init * scale[:, None], slevel, ok0,
+            patch_size=patch_size, n_iter=n_iter)
     uv_out = res.uv / scale[:, None]
     return MatchResult(uv=uv_out, level=slevel, ok=res.converged & ok0)
 

@@ -281,6 +281,103 @@ def problem_from_map(map_state, cfg) -> BAProblem:
         obs_valid=jnp.asarray(ov)), meta
 
 
+def problem_from_window(map_state, cfg, core_slots, pad_bucket: int = 256):
+    """Windowed localBA problem (reference intent:
+    src/bundle_adjustment.cpp:124-255 `ba::localBA` — core keyframes free,
+    covisible neighbors contribute observations but stay FIXED, landmarks
+    restricted to those observed by a core keyframe).
+
+    Unlike problem_from_map this does NOT repack the whole map: only the
+    window's landmark rows are gathered, and the row count is padded to a
+    multiple of `pad_bucket` so the per-keyframe calls reuse ONE compiled
+    BA program per bucket (the keyframe table is already fixed-capacity).
+    Returns (problem, meta) with the same meta contract as problem_from_map
+    plus snapshots for the guarded deferred write-back."""
+    import numpy as np
+
+    m = map_state
+    core = np.zeros(len(m.kf_occupied), bool)
+    core[np.asarray(core_slots, int)] = True
+    core &= m.kf_occupied
+
+    def window_rows(status, obs_kf):
+        alive = status >= 2
+        seen = core[np.maximum(obs_kf, 0)] & (obs_kf >= 0)
+        return np.where(alive & seen.any(axis=1))[0]
+
+    P_rows = window_rows(m.pt_status, m.pt_obs_kf)
+    L_rows = window_rows(m.ln_status, m.ln_obs_kf)
+    O = cfg.caps.max_obs_per_landmark
+
+    pos = [m.pt_pos[P_rows], m.ln_spos[L_rows], m.ln_epos[L_rows]]
+    obs_kf = [m.pt_obs_kf[P_rows], m.ln_obs_kf[L_rows], m.ln_obs_kf[L_rows]]
+    obs_f = [m.pt_obs_f[P_rows], m.ln_obs_sf[L_rows], m.ln_obs_ef[L_rows]]
+    pos = np.concatenate(pos, 0).astype(np.float32)
+    obs_kf = np.concatenate(obs_kf, 0).astype(np.int32)
+    obs_f = np.concatenate(obs_f, 0).astype(np.float32)
+    n = len(pos)
+    n_pad = (-n) % pad_bucket if n else pad_bucket
+    pos = np.concatenate([pos, np.zeros((n_pad, 3), np.float32)])
+    obs_kf = np.concatenate([obs_kf, np.full((n_pad, O), -1, np.int32)])
+    obs_f = np.concatenate([obs_f, np.zeros((n_pad, O, 3), np.float32)])
+    valid = np.zeros(n + n_pad, bool)
+    valid[:n] = True
+
+    occ = m.kf_occupied
+    fixed = occ & ~core  # covisible neighbors frozen
+    if not fixed.any():
+        # whole map is core: gauge-fix the oldest keyframe
+        occ_idx = np.where(occ)[0]
+        if len(occ_idx):
+            fixed[occ_idx[np.argmin(m.kf_frame_id[occ_idx])]] = True
+    fixed |= ~occ  # empty slots never move
+    ov = (obs_kf >= 0) & occ[np.maximum(obs_kf, 0)]
+    meta = {
+        "n_points": len(P_rows), "n_lines": len(L_rows),
+        "pt_rows": P_rows, "ln_rows": L_rows,
+        "kf_free": np.where(occ & ~fixed)[0],
+        "kf_frame_id": m.kf_frame_id.copy(),
+        "pt_anchor": m.pt_anchor_kf[P_rows].copy(),
+        "ln_anchor": m.ln_anchor_kf[L_rows].copy(),
+    }
+    return BAProblem(
+        kf_R=jnp.asarray(m.kf_R), kf_t=jnp.asarray(m.kf_t),
+        kf_fixed=jnp.asarray(fixed),
+        lm_pos=jnp.asarray(pos), lm_valid=jnp.asarray(valid),
+        obs_kf=jnp.asarray(obs_kf), obs_f=jnp.asarray(obs_f),
+        obs_valid=jnp.asarray(ov & valid[:, None])), meta
+
+
+def write_back_window(map_state, kf_R, kf_t, lm_pos, meta):
+    """Guarded write-back for (possibly deferred) windowed localBA results:
+    by completion time keyframes may have been evicted/replaced and
+    landmark rows deleted/reallocated — only rows that still denote the
+    same entity (matching kf_frame_id / alive status + unchanged anchor)
+    are written. Inputs are host arrays (fetched)."""
+    import numpy as np
+
+    m = map_state
+    kf_R, kf_t, lm_pos = (np.asarray(a) for a in (kf_R, kf_t, lm_pos))
+    ok_kf = [k for k in meta["kf_free"]
+             if m.kf_occupied[k] and m.kf_frame_id[k] == meta["kf_frame_id"][k]]
+    if ok_kf:
+        m.kf_R[ok_kf] = kf_R[ok_kf]
+        m.kf_t[ok_kf] = kf_t[ok_kf]
+    npts, nln = meta["n_points"], meta["n_lines"]
+    pr = meta["pt_rows"]
+    ok_pt = (m.pt_status[pr] >= 2) & (m.pt_anchor_kf[pr] == meta["pt_anchor"])
+    if ok_pt.any():
+        m.pt_pos[pr[ok_pt]] = lm_pos[:npts][ok_pt]
+    lr = meta["ln_rows"]
+    ok_ln = (m.ln_status[lr] >= 2) & (m.ln_anchor_kf[lr] == meta["ln_anchor"])
+    if ok_ln.any():
+        m.ln_spos[lr[ok_ln]] = lm_pos[npts:npts + nln][ok_ln]
+        m.ln_epos[lr[ok_ln]] = lm_pos[npts + nln:npts + 2 * nln][ok_ln]
+    if hasattr(m, "invalidate"):
+        m.invalidate()
+    return len(ok_kf), int(ok_pt.sum()) + int(ok_ln.sum())
+
+
 def write_back_to_map(map_state, prob: BAProblem, meta):
     """Scatter optimized poses/landmarks back into the MapState."""
     import numpy as np

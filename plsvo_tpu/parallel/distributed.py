@@ -1,0 +1,212 @@
+"""Multi-host distributed runtime (SURVEY §5.8, BASELINE config 5).
+
+The reference has no distributed story at all (single process, three
+pthreads — SURVEY §5.2); this module is the TPU-native scale-out layer:
+
+- `initialize()`: `jax.distributed` process-group bring-up. On TPU pods the
+  coordinator/process topology autodetects from the runtime environment; on
+  CPU/GPU fleets pass coordinator_address/num_processes/process_id
+  explicitly. Idempotent, and a documented no-op for plain single-process
+  runs so every entry point can call it unconditionally.
+- `hybrid_mesh()`: a (dcn, ici) device mesh — the outer axis crosses hosts
+  over the data-center network, the inner axis stays on the chip-to-chip
+  interconnect. On one host it degenerates to (1, n_local).
+- `bundle_adjust_multihost()`: bundle adjustment with landmark ranges
+  sharded over BOTH axes. The per-landmark assembly (the O(L) work) is
+  local; the reduced camera system (6K,6K) is psum-reduced over the ICI
+  axis FIRST and only the per-host partial crosses the DCN — the traffic
+  pattern the scaling book prescribes (big reductions ride ICI, tiny
+  replicas ride DCN).
+
+Host-local problem construction uses
+`jax.make_array_from_process_local_data` so each host only materializes its
+own landmark range (`scatter_problem`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plsvo_tpu.parallel import ba as ba_mod
+
+_initialized = False
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids=None,
+) -> bool:
+    """Bring up the jax.distributed process group.
+
+    Returns True when a multi-process group is (now) live, False for the
+    single-process fallback. Safe to call more than once and safe to call
+    in a plain single-process run: with no coordinator address given and no
+    cluster autodetection available, it records the single-process state
+    and returns False instead of raising.
+    """
+    global _initialized
+    if _initialized:
+        return jax.process_count() > 1
+    if coordinator_address is None and num_processes is None:
+        # TPU-pod autodetection: the runtime env carries the topology. Try
+        # it; a plain single-process run has nothing to detect -> fallback.
+        try:
+            jax.distributed.initialize()
+            _initialized = True
+            return jax.process_count() > 1
+        except Exception:
+            return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    _initialized = True
+    return jax.process_count() > 1
+
+
+def hybrid_mesh(
+    ici_per_host: Optional[int] = None,
+    *,
+    dcn_axis: str = "dcn",
+    ici_axis: str = "ici",
+    devices=None,
+) -> Mesh:
+    """A 2-D (hosts, chips-per-host) mesh.
+
+    Multi-process: one dcn row per host (jax.process_count()), each row
+    holding that host's local chips — collectives over `ici_axis` ride the
+    interconnect, collectives over `dcn_axis` cross hosts. Single-process:
+    (1, n) over the local devices, or (n_devices // ici_per_host,
+    ici_per_host) when `ici_per_host` is given (virtual-mesh testing).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if jax.process_count() > 1:
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (jax.local_device_count(),),
+                (jax.process_count(),),
+                devices=devices,
+            )
+            # create_hybrid_device_mesh returns (dcn*ici,) flattened per its
+            # mesh_shape contract: reshape to (hosts, per_host)
+            arr = np.asarray(arr).reshape(
+                jax.process_count(), jax.local_device_count())
+        except Exception:
+            arr = np.asarray(devices).reshape(jax.process_count(), -1)
+    else:
+        per = ici_per_host or n
+        assert n % per == 0, "device count not divisible by ici_per_host"
+        arr = np.asarray(devices).reshape(n // per, per)
+    return Mesh(arr, (dcn_axis, ici_axis))
+
+
+def scatter_problem(prob: "ba_mod.BAProblem", mesh: Mesh,
+                    dcn_axis: str = "dcn", ici_axis: str = "ici"):
+    """Place a BAProblem onto the mesh: landmark rows sharded over
+    (dcn, ici), poses replicated.
+
+    Multi-process: the caller passes its HOST-LOCAL landmark range and this
+    assembles the global sharded arrays without replicating them
+    (`jax.make_array_from_process_local_data`). Single-process: a plain
+    device_put with the same shardings.
+    """
+    lm_sh = NamedSharding(mesh, P((dcn_axis, ici_axis)))
+    rep_sh = NamedSharding(mesh, P())
+
+    def put(a, sh):
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, np.asarray(a))
+        return jax.device_put(a, sh)
+
+    return ba_mod.BAProblem(
+        kf_R=put(prob.kf_R, rep_sh), kf_t=put(prob.kf_t, rep_sh),
+        kf_fixed=put(prob.kf_fixed, rep_sh),
+        lm_pos=put(prob.lm_pos, lm_sh), lm_valid=put(prob.lm_valid, lm_sh),
+        obs_kf=put(prob.obs_kf, lm_sh), obs_f=put(prob.obs_f, lm_sh),
+        obs_valid=put(prob.obs_valid, lm_sh))
+
+
+def bundle_adjust_multihost(
+    prob: "ba_mod.BAProblem",
+    mesh: Mesh,
+    dcn_axis: str = "dcn",
+    ici_axis: str = "ici",
+    *,
+    n_iter: int = 10,
+    huber: float = 1.0 / 250.0,
+    damping: float = 1e-4,
+    lm_damp: float = 1e-8,
+):
+    """Hierarchical distributed BA over a (dcn, ici) mesh.
+
+    Landmark ranges shard over dcn x ici (each host owns a contiguous
+    range, each chip a sub-range). Per GN iteration each shard assembles
+    its partial reduced camera system locally; the (6K,6K) partial is
+    psum-reduced over the ICI axis first (chip-to-chip bandwidth), then the
+    per-host result over the DCN axis (one small matrix per host per
+    iteration). The solve is replicated; landmark back-substitution never
+    leaves the owning shard.
+
+    Numerically identical to `ba.bundle_adjust` (tested on a virtual mesh);
+    the sharded/single equivalence is what makes the multi-host path safe
+    to enable in production.
+    """
+    K = prob.kf_R.shape[0]
+    n_shards = mesh.shape[dcn_axis] * mesh.shape[ici_axis]
+    assert prob.lm_pos.shape[0] % n_shards == 0, \
+        "pad landmarks to a multiple of the mesh size"
+
+    lm_spec = P((dcn_axis, ici_axis))
+    specs = ba_mod.BAProblem(
+        kf_R=P(), kf_t=P(), kf_fixed=P(),
+        lm_pos=lm_spec, lm_valid=lm_spec,
+        obs_kf=lm_spec, obs_f=lm_spec, obs_valid=lm_spec)
+
+    def psum2(x):
+        # two-stage reduction: ICI first, DCN second — XLA lowers each
+        # psum to the named axis's physical links, so the full-size
+        # partials never cross the DCN
+        return jax.lax.psum(jax.lax.psum(x, ici_axis), dcn_axis)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(specs,),
+             out_specs=(specs, P()))
+    def run(p_local: "ba_mod.BAProblem"):
+        def body(carry, _):
+            p, chi2_prev = carry
+            S, b, Hpp_inv, b_p, W, chi2, n_obs = ba_mod._assemble_shard(
+                p, huber, lm_damp)
+            S = psum2(S)
+            b = psum2(b)
+            chi2 = psum2(chi2)
+            S = S + damping * jnp.eye(6 * K)
+            dc = jnp.linalg.solve(S, b)
+            p_new = ba_mod._apply_updates(p, dc, Hpp_inv, b_p, W)
+            _, _, _, _, _, c2n, _ = ba_mod._assemble_shard(
+                p_new, huber, lm_damp)
+            c2n = psum2(c2n)
+            accept = c2n <= chi2 * 1.001
+            p_out = jax.tree.map(
+                lambda a, b_: jnp.where(accept, a, b_), p_new, p)
+            return (p_out, jnp.where(accept, c2n, chi2)), chi2
+
+        (p_fin, _), _ = jax.lax.scan(
+            body, (p_local, jnp.asarray(jnp.inf)), None, length=n_iter)
+        _, _, _, _, _, chi2, n_obs = ba_mod._assemble_shard(
+            p_fin, huber, lm_damp)
+        stats = ba_mod.BAStats(chi2=psum2(chi2), n_obs=psum2(n_obs))
+        return p_fin, stats
+
+    return jax.jit(run)(prob)

@@ -348,6 +348,8 @@ class BatchedVO:
         while self._bfetch_q and force:
             entries, pend, fut, meta = self._bfetch_q.pop(0)
             got, init_got = fused.flatunpack(fut.result(), meta)
+            for vo in self.vos:
+                vo._complete_pending_ba()
             for (i, (kf_slot, dm, dmin, _)), fetched in zip(pend, init_got):
                 vo = self.vos[i]
                 if self._seeds_idx is not None and i in self._seeds_idx:

@@ -95,7 +95,9 @@ class FrameHandlerMono:
             "kf_idx": np.zeros(caps.max_seeds, np.int32),
             "uv": np.zeros((caps.max_seeds, 2), np.float32),
             "f": np.zeros((caps.max_seeds, 3), np.float32),
-            "level": np.zeros(caps.max_seeds, np.int32)}
+            "level": np.zeros(caps.max_seeds, np.int32),
+            "type": np.zeros(caps.max_seeds, np.int32),
+            "dir": np.zeros((caps.max_seeds, 2), np.float32)}
         self._lnseed_host = {
             "kf_idx": np.zeros(caps.max_seed_segs, np.int32),
             "s_uv": np.zeros((caps.max_seed_segs, 2), np.float32),
@@ -119,6 +121,8 @@ class FrameHandlerMono:
         self._fetch_q: List = []
         self._ready: List[FrameResult] = []
         self._pending_seed_init: List = []
+        # deferred windowed-localBA results [(future, meta, ba_meta)]
+        self._pending_ba: List = []
         # burst-mode state: raw-image buffer, in-flight bursts
         # [(kind, frames, payload, ys_pyr)], in-flight fetch windows, and
         # the device-resident chain (NextFrameInputs + newest pyramid)
@@ -232,6 +236,11 @@ class FrameHandlerMono:
                 level=jnp.zeros(n_cells, jnp.int32),
                 score=jnp.zeros(n_cells, jnp.float32),
                 valid=jnp.zeros(n_cells, bool))
+        egrid = None
+        if use_pt and pl.use_edgelets:
+            egrid = detection.detect_edgelets_grid(
+                pyr[0], cell_size=pl.grid_size,
+                mag_threshold=pl.edgelet_grad_thresh)
         segs = None
         if use_ls:
             # per-level tiled detection (reference: LsdDetector detects per
@@ -257,13 +266,13 @@ class FrameHandlerMono:
             segs, _ = line_ops.dedup_segments_grid(
                 det, width=W, height=H, cell_size=pl.grid_size_segs,
                 max_segs=self.cfg.caps.max_segs, min_length=min_len)
-        return grid, segs
+        return grid, segs, egrid
 
     def _process_first(self, pyr, ts) -> FrameResult:
         frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
                                  np.eye(3, dtype=np.float32),
                                  np.zeros(3, np.float32))
-        grid, segs = self._detect_features(
+        grid, segs, _ = self._detect_features(
             pyr, use_pt=self.cfg.pipeline.has_pt and self.cfg.pipeline.init_pt,
             use_ls=self.cfg.pipeline.has_ls and self.cfg.pipeline.init_ls)
         uv = np.asarray(grid.uv)
@@ -425,6 +434,8 @@ class FrameHandlerMono:
             pt_anchor_kf=m.dev("pt_anchor_kf"), pt_anchor_uv=m.dev("pt_anchor_uv"),
             pt_anchor_f=m.dev("pt_anchor_f"),
             pt_anchor_level=m.dev("pt_anchor_level"),
+            pt_anchor_type=m.dev("pt_anchor_type"),
+            pt_anchor_dir=m.dev("pt_anchor_dir"),
             pt_obs_kf=m.dev("pt_obs_kf"), pt_obs_uv=m.dev("pt_obs_uv"),
             pt_obs_f=m.dev("pt_obs_f"), pt_obs_level=m.dev("pt_obs_level"),
             ln_spos=m.dev("ln_spos"), ln_epos=m.dev("ln_epos"),
@@ -453,6 +464,7 @@ class FrameHandlerMono:
                                if pl.has_refinement else 0),
             poseopt_thresh=pl.poseoptim_thresh,
             n_pyr_use=pl.n_pyr_levels, has_ls=pl.has_ls,
+            has_edgelets=pl.use_edgelets and pl.has_pt,
             n_struct_pts=pl.structureoptim_max_pts,
             n_struct_segs=pl.structureoptim_max_segs,
             struct_iters=pl.structureoptim_num_iter)
@@ -619,6 +631,7 @@ class FrameHandlerMono:
             newest_frame = self.last_frame
             with self.permon.timer("reproject"):
                 got, init_got = fused.flatunpack(fut.result(), meta)
+            self._complete_pending_ba()
             for (kf_slot, dm, dmin, _), fetched in zip(pending_init,
                                                        init_got):
                 self._complete_seed_init(kf_slot, dm, dmin, *fetched)
@@ -663,6 +676,7 @@ class FrameHandlerMono:
                 self._initiate_burst_drain(keep=0)
                 while self._bfetch_q:
                     self._complete_burst_drains(force=True)
+        self._complete_pending_ba()
         out = self._ready
         self._ready = []
         return out
@@ -774,6 +788,7 @@ class FrameHandlerMono:
             newest = self.last_frame
             with self.permon.timer("reproject"):
                 got, init_got = fused.flatunpack(fut.result(), meta)
+            self._complete_pending_ba()
             for (kf_slot, dm, dmin, _), fetched in zip(pending_init,
                                                        init_got):
                 self._complete_seed_init(kf_slot, dm, dmin, *fetched)
@@ -1035,6 +1050,59 @@ class FrameHandlerMono:
                      self._dispatch_seed_detection(frame)))
             else:
                 self._init_seeds(frame, d_mean, max(d_min * 0.1, 1e-3))
+        if self.cfg.pipeline.loba_enabled:
+            with self.permon.timer("local_ba"):
+                self._dispatch_local_ba(frame)
+
+    # -- windowed local bundle adjustment (C16 in the pipeline) ----------
+    def _dispatch_local_ba(self, frame: FrameState):
+        """Per-keyframe windowed BA (reference intent: ba::localBA at every
+        keyframe, frame_handler_mono.cpp:380-383; dead code there, real
+        here). Core = FoV-overlapping keyframes of the new KF; everything
+        else fixed. The device solve is dispatched here; the (~80 ms
+        round-trip) result fetch is deferred into the next drain window in
+        pipelined/burst execution and completed inline in sync mode."""
+        from plsvo_tpu.parallel import ba as ba_mod
+
+        m = self.map
+        kf_slot = int(np.where(m.kf_frame_id == frame.frame_id)[0][0])
+        # core = the closest core_n_kfs FoV-overlapping keyframes + the new
+        # KF itself (reference: core_kfs = N closest overlapping,
+        # frame_handler_mono.cpp:380 / getCloseKeyframes)
+        overl = sorted(m.overlap_kfs(frame.R_f_w, frame.t_f_w, self._fx,
+                                     self._fy, self._cx, self._cy),
+                       key=lambda kd: kd[1])
+        core = {k for k, _ in overl[: self.cfg.pipeline.core_n_kfs]}
+        core.add(kf_slot)
+        if m.n_keyframes() < 3:
+            return  # bootstrap window: nothing to adjust yet
+        prob, meta = ba_mod.problem_from_window(m, self.cfg, sorted(core))
+        if meta["n_points"] + meta["n_lines"] == 0:
+            return
+        out, _stats = ba_mod.bundle_adjust(
+            prob, n_iter=self.cfg.pipeline.loba_num_iter)
+        flat, fmeta = fused.flatpack((out.kf_R, out.kf_t, out.lm_pos))
+        defer = (self.cfg.pipeline.pipelined and not self._force_sync) \
+            or self._defer_seed_init
+        if defer:
+            self._pending_ba.append((fused.submit_fetch(flat), fmeta, meta))
+        else:
+            kf_R, kf_t, lm_pos = fused.flatunpack(jax.device_get(flat),
+                                                  fmeta)
+            ba_mod.write_back_window(m, kf_R, kf_t, lm_pos, meta)
+
+    def _complete_pending_ba(self):
+        """Write back every in-flight localBA result. Called at drain
+        completion points so the write-back lands on a DETERMINISTIC frame
+        (the fetch worker is one thread: a BA future submitted before the
+        drain window's fetch is complete by the time the window's result()
+        returns, so this rarely actually blocks)."""
+        from plsvo_tpu.parallel import ba as ba_mod
+
+        while self._pending_ba:
+            fut, fmeta, meta = self._pending_ba.pop(0)
+            kf_R, kf_t, lm_pos = fused.flatunpack(fut.result(), fmeta)
+            ba_mod.write_back_window(self.map, kf_R, kf_t, lm_pos, meta)
 
     # ------------------------------------------------------------------
     # seed-table access points: BatchedVO overrides these so the tables can
@@ -1070,8 +1138,8 @@ class FrameHandlerMono:
         occupied = detection.occupancy_from_positions(
             jnp.asarray(occ_uv), jnp.asarray(occ_ok),
             self.cam.width, self.cam.height, pl.grid_size)
-        grid_dev, segs_dev = self._detect_features(frame.pyr)
-        return (grid_dev, segs_dev, occupied)
+        grid_dev, segs_dev, egrid_dev = self._detect_features(frame.pyr)
+        return (grid_dev, segs_dev, occupied, egrid_dev)
 
     def _init_seeds(self, frame: FrameState, d_mean, d_min):
         """Spawn seeds in grid cells not already holding a feature
@@ -1081,17 +1149,28 @@ class FrameHandlerMono:
         kf_slot = int(np.where(self.map.kf_frame_id == frame.frame_id)[0][0])
         with self.permon.timer("kf_detect"):
             flat, meta = fused.flatpack(self._dispatch_seed_detection(frame))
-            grid, segs, occupied = fused.flatunpack(
+            grid, segs, occupied, egrid = fused.flatunpack(
                 jax.device_get(flat), meta)
-        self._complete_seed_init(kf_slot, d_mean, d_min, grid, segs, occupied)
+        self._complete_seed_init(kf_slot, d_mean, d_min, grid, segs,
+                                 occupied, egrid)
 
     def _complete_seed_init(self, kf_slot, d_mean, d_min, grid, segs,
-                            occupied):
+                            occupied, egrid=None):
         """Host half of seed initialization: free-slot assignment + device
-        scatter, from fetched detection results."""
+        scatter, from fetched detection results. Cells that the FAST grid
+        leaves empty spawn EDGELET seeds (dominant-gradient features,
+        refined by align1D downstream) when use_edgelets is on."""
         valid = grid.valid & ~occupied
         uv = grid.uv[valid]
         lvl = grid.level[valid]
+        typ = np.zeros(len(uv), np.int32)
+        gdir = np.zeros((len(uv), 2), np.float32)
+        if egrid is not None:
+            e_ok = egrid.valid & ~occupied & ~grid.valid
+            uv = np.concatenate([uv, egrid.uv[e_ok]], 0)
+            lvl = np.concatenate([lvl, egrid.level[e_ok]], 0)
+            typ = np.concatenate([typ, np.ones(int(e_ok.sum()), np.int32)])
+            gdir = np.concatenate([gdir, egrid.grad_dir[e_ok]], 0)
         f = self._np_unproject(uv) if len(uv) else np.zeros((0, 3), np.float32)
 
         mu, sigma2, z_range = df.seed_init_params(d_mean, d_min)
@@ -1107,6 +1186,8 @@ class FrameHandlerMono:
             sh["uv"][free] = uv[:k]
             sh["f"][free] = f[:k]
             sh["level"][free] = lvl[:k]
+            sh["type"][free] = typ[:k]
+            sh["dir"][free] = gdir[:k]
             self._seed_alive[free] = True
             B = self._bucket(k, self.cfg.caps.max_seeds)
             rows = np.zeros(B, np.int32)
@@ -1258,7 +1339,8 @@ class FrameHandlerMono:
                 Rk, tk = m.kf_R[k], m.kf_t[k]
                 pos_w = Rk.T @ (sh["f"][i] * depth[bi] - tk)
                 m.new_point(pos_w, int(k), sh["uv"][i], sh["f"][i],
-                            int(sh["level"][i]), status=ST_CANDIDATE)
+                            int(sh["level"][i]), status=ST_CANDIDATE,
+                            ftype=int(sh["type"][i]), grad_dir=sh["dir"][i])
         if has_ln:
             lconv, ds, de, lalive_b = got[gi]
             nrows = len(self._ln_rows)
@@ -1375,6 +1457,7 @@ class FrameHandlerMono:
         self._fetch_q = []
         self._ready = []
         self._pending_seed_init = []
+        self._pending_ba = []
         self._burst_buf = []
         self._bursts = []
         self._bfetch_q = []

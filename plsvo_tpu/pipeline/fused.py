@@ -46,6 +46,8 @@ class MapTables(NamedTuple):
     pt_anchor_uv: jnp.ndarray
     pt_anchor_f: jnp.ndarray
     pt_anchor_level: jnp.ndarray
+    pt_anchor_type: jnp.ndarray  # (P,) 0=corner 1=edgelet
+    pt_anchor_dir: jnp.ndarray  # (P,2) edgelet gradient direction
     pt_obs_kf: jnp.ndarray
     pt_obs_uv: jnp.ndarray
     pt_obs_f: jnp.ndarray
@@ -213,7 +215,7 @@ def _unproject(uv, fx, fy, cx, cy):
 @partial(jax.jit, static_argnames=(
     "levels", "n_iter_align", "patch_align", "cell_size", "cell_size_segs",
     "max_pts_out", "max_segs_out", "n_line_samples", "poseopt_iters", "poseopt_iters_ref",
-    "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_core(
     last_pyr: Sequence[jnp.ndarray],
@@ -239,6 +241,7 @@ def track_frame_core(
     poseopt_thresh: float = 2.0,
     n_pyr_use: int = 3,
     has_ls: bool = True,
+    has_edgelets: bool = False,
     n_struct_pts: int = 20,
     n_struct_segs: int = 20,
     struct_iters: int = 5,
@@ -272,14 +275,18 @@ def track_frame_core(
             mt.ln_anchor_ef, mt.ln_anchor_level, mt.kf_R, mt.kf_t,
             kf_pyr, cur_sub, R_cur, t_cur, fx, fy, cx, cy,
             cell_size=cell_size, cell_size_segs=cell_size_segs,
-            max_pts_out=max_pts_out, max_segs_out=max_segs_out)
+            max_pts_out=max_pts_out, max_segs_out=max_segs_out,
+            has_edgelets=has_edgelets, pt_anchor_type=mt.pt_anchor_type,
+            pt_anchor_dir=mt.pt_anchor_dir)
     else:
         pt_res = reprojector.reproject_points(
             mt.pt_pos, mt.pt_status, mt.pt_anchor_kf, mt.pt_anchor_uv,
             mt.pt_anchor_f, mt.pt_anchor_level, mt.pt_obs_kf, mt.pt_obs_uv,
             mt.pt_obs_f, mt.pt_obs_level, mt.kf_R, mt.kf_t,
             kf_pyr, cur_sub, R_cur, t_cur, fx, fy, cx, cy,
-            cell_size=cell_size, max_out=max_pts_out)
+            cell_size=cell_size, max_out=max_pts_out,
+            has_edgelets=has_edgelets, pt_anchor_type=mt.pt_anchor_type,
+            pt_anchor_dir=mt.pt_anchor_dir)
     pt_f_cur = _unproject(pt_res.uv, fx, fy, cx, cy)
 
     if has_ls:
@@ -483,7 +490,7 @@ def build_next_inputs(res: FusedResult, mt: MapTables,
     "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_step(
     last_pyr, cur_pyr, kf_pyr,
@@ -535,7 +542,7 @@ def track_frame_step(
     "seed_search_budget", "n_epi_steps", "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_step_tables(
     last_pyr, cur_pyr, kf_pyr,
@@ -661,7 +668,7 @@ def _track_frame_step_impl(
     "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frames_burst(
     last_pyr,  # previous frame's pyramid (tuple of (h,w), all levels)
@@ -721,7 +728,7 @@ def track_frames_burst(
     "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_step_list(
     per_seq_inputs,  # tuple over sequences of (last_pyr, cur_pyr, kf_pyr,
@@ -740,19 +747,23 @@ def track_frame_step_list(
     cost ~0.8 ms launch overhead each over the device tunnel, and a frame
     step has ~60 input arrays — stacking in-graph makes them free. Seed
     tables stay stacked across frames (BatchedVO holds them). With a mesh,
-    the batch axis is shard-constrained over it and GSPMD partitions the
-    whole vmapped step across devices (pure data parallelism over
-    sequences — BASELINE.json config 4)."""
+    the batch axis is SHARD-MAPPED over it: each device runs the
+    collective-free local program on its B/n_dev sequences (pure data
+    parallelism over sequences — BASELINE.json config 4).
+
+    shard_map, NOT with_sharding_constraint: letting GSPMD partition the
+    vmapped step inserted 700+ collectives — every early-exit
+    `jnp.any(...)` while-loop condition became a per-GN-iteration
+    cross-device all-reduce over the batch, and spatial resharding of the
+    pyramid intermediates added all-to-alls. shard_map keeps the loop
+    conditions device-local (union of the LOCAL shard's iteration counts
+    only) and admits no communication at all."""
     stacked = jax.tree.map(lambda *a: jnp.stack(a), *per_seq_inputs)
-    shard = _make_shard(mesh, mesh_axis)
-    last_pyr, cur_pyr, kf_pyr, blob, mt, batch_counter = shard(stacked)
-    pt_seeds_stacked = shard(pt_seeds_stacked)
-    ln_seeds_stacked = shard(ln_seeds_stacked)
+    last_pyr, cur_pyr, kf_pyr, blob, mt, batch_counter = stacked
     # frame_id is a traced operand only read when emit_next; batch_counter
     # stands in as a dummy when the caller doesn't chain
     fids = (batch_counter if frame_ids is None
-            else shard(jnp.stack([jnp.asarray(f, jnp.int32)
-                                  for f in frame_ids])))
+            else jnp.stack([jnp.asarray(f, jnp.int32) for f in frame_ids]))
 
     def step(last_pyr, cur_pyr, kf_pyr, blob, mt, pt_seeds, ln_seeds, bc,
              fid):
@@ -760,20 +771,14 @@ def track_frame_step_list(
             last_pyr, cur_pyr, kf_pyr, blob, mt, pt_seeds, ln_seeds, bc,
             fx, fy, cx, cy, frame_id=fid, **kw)
 
-    return jax.vmap(step)(last_pyr, cur_pyr, kf_pyr, blob, mt,
-                          pt_seeds_stacked, ln_seeds_stacked, batch_counter,
-                          fids)
-
-
-def _make_shard(mesh, mesh_axis):
-    def shard(tree):
-        if mesh is None:
-            return tree
-        sh = jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec(mesh_axis))
-        return jax.tree.map(
-            lambda a: jax.lax.with_sharding_constraint(a, sh), tree)
-    return shard
+    vstep = jax.vmap(step)
+    host_args = (last_pyr, cur_pyr, kf_pyr, blob, mt, batch_counter, fids)
+    if mesh is None:
+        return vstep(last_pyr, cur_pyr, kf_pyr, blob, mt,
+                     pt_seeds_stacked, ln_seeds_stacked, batch_counter,
+                     fids)
+    return _shard_mapped_step(vstep, mesh, mesh_axis, host_args,
+                              pt_seeds_stacked, ln_seeds_stacked)
 
 
 @partial(jax.jit, static_argnames=(
@@ -782,7 +787,7 @@ def _make_shard(mesh, mesh_axis):
     "seed_search_budget", "n_epi_steps", "sigma_conv_factor", "n_pyr_seed", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_step_tables_list(
     per_seq_inputs,  # tuple over sequences of (last_pyr, cur_pyr, kf_pyr,
@@ -799,13 +804,11 @@ def track_frame_step_tables_list(
 ) -> FullStepResult:
     """Pipelined batched step: align inputs chain from the previous batched
     step's device-resident NextFrameInputs — no host blobs, no fetch before
-    dispatch (the batched analogue of track_frame_step_tables)."""
+    dispatch (the batched analogue of track_frame_step_tables). With a
+    mesh, shard-mapped over the sequence axis (see track_frame_step_list
+    for why shard_map and not a sharding constraint)."""
     stacked = jax.tree.map(lambda *a: jnp.stack(a), *per_seq_inputs)
-    shard = _make_shard(mesh, mesh_axis)
-    last_pyr, cur_pyr, kf_pyr, mt, batch_counter, frame_id = shard(stacked)
-    nxt_stacked = shard(nxt_stacked)
-    pt_seeds_stacked = shard(pt_seeds_stacked)
-    ln_seeds_stacked = shard(ln_seeds_stacked)
+    last_pyr, cur_pyr, kf_pyr, mt, batch_counter, frame_id = stacked
 
     def step(last_pyr, cur_pyr, kf_pyr, nxt, mt, pt_seeds, ln_seeds, bc,
              fid):
@@ -813,15 +816,69 @@ def track_frame_step_tables_list(
             last_pyr, cur_pyr, kf_pyr, nxt, mt, pt_seeds, ln_seeds, bc,
             fx, fy, cx, cy, frame_id=fid, **kw)
 
-    return jax.vmap(step)(last_pyr, cur_pyr, kf_pyr, nxt_stacked, mt,
-                          pt_seeds_stacked, ln_seeds_stacked, batch_counter,
-                          frame_id)
+    if mesh is None:
+        return jax.vmap(step)(last_pyr, cur_pyr, kf_pyr, nxt_stacked, mt,
+                              pt_seeds_stacked, ln_seeds_stacked,
+                              batch_counter, frame_id)
+    host_args = (last_pyr, cur_pyr, kf_pyr, mt, batch_counter, frame_id)
+    return _shard_mapped_step(
+        lambda lp, cp, kp, mt_, bc, fid, pt_s, ln_s, *extra:
+            jax.vmap(step)(lp, cp, kp, extra[0], mt_, pt_s, ln_s, bc, fid),
+        mesh, mesh_axis, host_args, pt_seeds_stacked, ln_seeds_stacked,
+        nxt_stacked, flat_call=True)
+
+
+
+
+def _shard_mapped_step(vstep, mesh, mesh_axis, host_args,
+                       pt_seeds_stacked, ln_seeds_stacked, *sharded_extra,
+                       flat_call=False):
+    """Run the vmapped frame step shard-mapped over `mesh_axis` with ZERO
+    communication.
+
+    - shard_map (not a GSPMD sharding constraint): under GSPMD the batched
+      step's early-exit `jnp.any` while-loop conditions became
+      per-GN-iteration cross-device all-reduces and the pyramid
+      intermediates got spatially resharded (700+ collectives observed).
+      Inside shard_map every loop condition is device-local.
+    - host-uploaded per-seq inputs stay REPLICATED and each device slices
+      its own rows locally (in-jit stacking a replicated tuple with a
+      sharded output spec lowers to per-level all-to-alls; a local
+      dynamic-slice of the replicated stack is comm-free).
+    - the device-resident carries (seed tables, NextFrameInputs) are
+      already P(mesh_axis)-sharded outputs of the previous step — they pass
+      straight through with sharded in_specs.
+    """
+    spec = jax.sharding.PartitionSpec(mesh_axis)
+    rep = jax.sharding.PartitionSpec()
+    B = jax.tree.leaves(host_args)[0].shape[0]
+    n_shard = mesh.shape[mesh_axis]
+    assert B % n_shard == 0, "batch not divisible by mesh axis"
+    B_local = B // n_shard
+
+    def body(host_args_l, pt_s, ln_s, *extra):
+        idx = jax.lax.axis_index(mesh_axis)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(
+            a, idx * B_local, B_local, 0)
+        local = jax.tree.map(sl, host_args_l)
+        if flat_call:
+            return vstep(*local, pt_s, ln_s, *extra)
+        return vstep(*local[:5], pt_s, ln_s, *local[5:])
+
+    in_specs = (jax.tree.map(lambda _: rep, host_args),
+                jax.tree.map(lambda _: spec, pt_seeds_stacked),
+                jax.tree.map(lambda _: spec, ln_seeds_stacked)) + tuple(
+        jax.tree.map(lambda _: spec, e) for e in sharded_extra)
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=spec,
+        check_vma=False)(host_args, pt_seeds_stacked, ln_seeds_stacked,
+                         *sharded_extra)
 
 
 @partial(jax.jit, static_argnames=(
     "specs", "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "n_struct_pts",
+    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_core_blob(
     last_pyr, cur_pyr, kf_pyr,

@@ -58,6 +58,8 @@ class RefineInputs(NamedTuple):
     t_ca: jnp.ndarray  # (M,3)
     uv_init: jnp.ndarray  # (M,2) projected level-0 position in cur
     valid: jnp.ndarray  # (M,)
+    ftype: jnp.ndarray  # (M,) 0=corner, 1=edgelet (anchor feature class)
+    grad_dir: jnp.ndarray  # (M,2) edgelet dominant gradient dir (anchor px)
 
 
 class ReprojResult(NamedTuple):
@@ -96,6 +98,7 @@ def _select_points(
     pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
     kf_R, kf_t, img_shape, R_cur, t_cur, fx, fy, cx, cy,
     *, cell_size, max_out, patch_size,
+    pt_anchor_type=None, pt_anchor_dir=None,
 ):
     """Project all point landmarks, per-cell best-quality dedup, min-view-
     angle anchor selection. Returns (lm, sel, RefineInputs)."""
@@ -157,10 +160,19 @@ def _select_points(
     R_ca, t_ca, anchor_center = _rel_pose_to_anchor(
         kf_R, kf_t, akf_c, R_cur, t_cur)
     depth_ref = jnp.linalg.norm(pt_pos[lm] - anchor_center, axis=-1)
+    M = lm.shape[0]
+    # EDGELET routing: type/dir are per-landmark from the CREATION anchor;
+    # when the min-angle obs anchor differs, the creation direction is an
+    # approximation (off by the in-plane rotation between the two views) —
+    # the affine warp in the matcher absorbs the rest
+    ft = (pt_anchor_type[lm] if pt_anchor_type is not None
+          else jnp.zeros(M, jnp.int32))
+    gd = (pt_anchor_dir[lm] if pt_anchor_dir is not None
+          else jnp.zeros((M, 2), jnp.float32))
     return lm, sel, RefineInputs(
         kf_idx=akf_c, uv_ref=a_uv, f_ref=a_f, depth_ref=depth_ref,
         level_ref=a_level, R_ca=R_ca, t_ca=t_ca, uv_init=uv[lm],
-        valid=sel & (akf >= 0))
+        valid=sel & (akf >= 0), ftype=ft, grad_dir=gd)
 
 
 def _select_segments(
@@ -210,29 +222,35 @@ def _select_segments(
     e_depth = jnp.linalg.norm(ln_epos[lm] - anchor_center, axis=-1)
     valid0 = sel & (akf >= 0)
     lvl = ln_anchor_level[lm]
+    M = lm.shape[0]
+    zt = jnp.zeros(M, jnp.int32)
+    zd = jnp.zeros((M, 2), jnp.float32)
     ri_s = RefineInputs(
         kf_idx=akf_c, uv_ref=ln_anchor_suv[lm], f_ref=ln_anchor_sf[lm],
         depth_ref=s_depth, level_ref=lvl, R_ca=R_ca, t_ca=t_ca,
-        uv_init=suv[lm], valid=valid0)
+        uv_init=suv[lm], valid=valid0, ftype=zt, grad_dir=zd)
     ri_e = RefineInputs(
         kf_idx=akf_c, uv_ref=ln_anchor_euv[lm], f_ref=ln_anchor_ef[lm],
         depth_ref=e_depth, level_ref=lvl, R_ca=R_ca, t_ca=t_ca,
-        uv_init=euv[lm], valid=valid0)
+        uv_init=euv[lm], valid=valid0, ftype=zt, grad_dir=zd)
     return lm, sel, ri_s, ri_e
 
 
 def _refine(kf_pyr_stack, cur_pyr, ri: RefineInputs, fx, fy, cx, cy,
-            *, patch_size):
+            *, patch_size, has_edgelets=False):
     kf_flat = ensure_flat_atlas(kf_pyr_stack)
     cur_atlas, cx_, cs = pack_pyramid_atlas(cur_pyr)
     return matcher_ops.find_match_direct_atlas(
         kf_flat, cur_atlas, cx_, cs,
         ri.kf_idx, ri.uv_ref, ri.f_ref, ri.depth_ref, ri.level_ref,
         ri.R_ca, ri.t_ca, ri.uv_init, ri.valid,
-        fx, fy, cx, cy, patch_size=patch_size, max_level=len(cur_pyr) - 1)
+        fx, fy, cx, cy, ri.ftype, ri.grad_dir,
+        patch_size=patch_size, max_level=len(cur_pyr) - 1,
+        has_edgelets=has_edgelets)
 
 
-@partial(jax.jit, static_argnames=("cell_size", "max_out", "patch_size"))
+@partial(jax.jit, static_argnames=("cell_size", "max_out", "patch_size",
+                                   "has_edgelets"))
 def reproject_points(
     pt_pos: jnp.ndarray,  # (P,3)
     pt_status: jnp.ndarray,  # (P,) int8
@@ -254,14 +272,18 @@ def reproject_points(
     cell_size: int = 25,
     max_out: int = 192,
     patch_size: int = 8,
+    has_edgelets: bool = False,
+    pt_anchor_type=None,
+    pt_anchor_dir=None,
 ) -> ReprojResult:
     lm, sel, ri = _select_points(
         pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
         pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
         kf_R, kf_t, cur_pyr[0].shape, R_cur, t_cur, fx, fy, cx, cy,
-        cell_size=cell_size, max_out=max_out, patch_size=patch_size)
+        cell_size=cell_size, max_out=max_out, patch_size=patch_size,
+        pt_anchor_type=pt_anchor_type, pt_anchor_dir=pt_anchor_dir)
     res = _refine(kf_pyr_stack, cur_pyr, ri, fx, fy, cx, cy,
-                  patch_size=patch_size)
+                  patch_size=patch_size, has_edgelets=has_edgelets)
     return ReprojResult(
         lm_idx=lm, selected=sel, uv=res.uv, level=res.level,
         matched=res.ok & sel,
@@ -300,7 +322,7 @@ def reproject_segments(
 
 @partial(jax.jit, static_argnames=(
     "cell_size", "cell_size_segs", "max_pts_out", "max_segs_out",
-    "patch_size"))
+    "patch_size", "has_edgelets"))
 def reproject_combined(
     pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
     pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
@@ -315,6 +337,9 @@ def reproject_combined(
     max_pts_out: int = 192,
     max_segs_out: int = 96,
     patch_size: int = 8,
+    has_edgelets: bool = False,
+    pt_anchor_type=None,
+    pt_anchor_dir=None,
 ):
     """Points + both segment endpoints refined in ONE find_match_direct
     batch (the pipeline hot path): three warp/align2d kernel chains fold
@@ -324,7 +349,8 @@ def reproject_combined(
         pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
         pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
         kf_R, kf_t, img_shape, R_cur, t_cur, fx, fy, cx, cy,
-        cell_size=cell_size, max_out=max_pts_out, patch_size=patch_size)
+        cell_size=cell_size, max_out=max_pts_out, patch_size=patch_size,
+        pt_anchor_type=pt_anchor_type, pt_anchor_dir=pt_anchor_dir)
     lm_s, sel_s, ri_s, ri_e = _select_segments(
         ln_spos, ln_epos, ln_status, ln_anchor_kf, ln_anchor_suv,
         ln_anchor_euv, ln_anchor_sf, ln_anchor_ef, ln_anchor_level,
@@ -334,7 +360,7 @@ def reproject_combined(
 
     ri = jax.tree.map(lambda *xs: jnp.concatenate(xs), ri_p, ri_s, ri_e)
     res = _refine(kf_pyr_stack, cur_pyr, ri, fx, fy, cx, cy,
-                  patch_size=patch_size)
+                  patch_size=patch_size, has_edgelets=has_edgelets)
     M, G = max_pts_out, max_segs_out
     r_p = jax.tree.map(lambda a: a[:M], res)
     r_s = jax.tree.map(lambda a: a[M:M + G], res)

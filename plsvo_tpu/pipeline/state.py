@@ -139,6 +139,12 @@ class MapState:
         self.pt_anchor_uv = np.zeros((P, 2), np.float32)
         self.pt_anchor_f = np.zeros((P, 3), np.float32)
         self.pt_anchor_level = np.zeros(P, np.int32)
+        # feature class of the anchor observation (reference feature.h:54-73:
+        # CORNER=0 / EDGELET=1) + the edgelet's dominant gradient direction
+        # in anchor-level pixel units; the matcher routes EDGELET refinement
+        # through align1D along the warped direction (matcher.cpp:191-207)
+        self.pt_anchor_type = np.zeros(P, np.int32)
+        self.pt_anchor_dir = np.zeros((P, 2), np.float32)
         self.pt_obs_kf = np.full((P, O), -1, np.int32)
         self.pt_obs_f = np.zeros((P, O, 3), np.float32)
         self.pt_obs_uv = np.zeros((P, O, 2), np.float32)
@@ -421,7 +427,8 @@ class MapState:
         free = np.where(self.ln_status == ST_DELETED)[0]
         return free[:n]
 
-    def new_point(self, pos_w, kf_slot, uv, f, level, status=ST_UNKNOWN) -> int:
+    def new_point(self, pos_w, kf_slot, uv, f, level, status=ST_UNKNOWN,
+                  ftype: int = 0, grad_dir=None) -> int:
         rows = self.alloc_points(1)
         if len(rows) == 0:
             return -1
@@ -435,11 +442,14 @@ class MapState:
         self.pt_anchor_uv[r] = uv
         self.pt_anchor_f[r] = f
         self.pt_anchor_level[r] = level
+        self.pt_anchor_type[r] = ftype
+        self.pt_anchor_dir[r] = (0.0, 0.0) if grad_dir is None else grad_dir
         self.pt_obs_kf[r] = -1
         self.pt_obs_ptr[r] = 0
         self._add_pt_obs(r, kf_slot, f, uv, level)
         self.invalidate("pt_pos", "pt_status", "pt_anchor_kf", "pt_anchor_uv",
-                        "pt_anchor_f", "pt_anchor_level", "pt_obs_kf",
+                        "pt_anchor_f", "pt_anchor_level", "pt_anchor_type",
+                        "pt_anchor_dir", "pt_obs_kf",
                         "pt_obs_uv", "pt_obs_f", "pt_obs_level")
         return r
 

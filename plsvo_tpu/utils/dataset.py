@@ -81,9 +81,11 @@ def load_gray(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("L"), np.float32)
 
 
-def undistort_maps(cam: PinholeCamera) -> Tuple[np.ndarray, np.ndarray]:
+def undistort_maps(cam) -> Tuple[np.ndarray, np.ndarray]:
     """Precompute bilinear sample maps for undistortion: for each ideal
-    pixel, the distorted source position (vk undistortImage analogue)."""
+    pixel, the distorted source position (vk undistortImage analogue).
+    Works for any camera exposing .distort(unit-plane ideal -> distorted
+    normalized) — PinholeCamera (radtan) and ATANCamera (FOV model)."""
     import jax.numpy as jnp
 
     H, W = cam.height, cam.width
@@ -124,7 +126,9 @@ class ImageFolderDataset:
     def __post_init__(self):
         self.paths = list_images(self.folder, self.offset, self.step, self.limit)
         self._maps = None
-        if isinstance(self.camera, PinholeCamera) and self.camera.has_distortion:
+        if self.camera.has_distortion:
+            # undistort-once for BOTH models (reference undistorts ATAN
+            # datasets the same way, app/run_pipeline.cpp:806-817,409-411)
             self._maps = undistort_maps(self.camera)
 
     def __len__(self):
@@ -138,9 +142,9 @@ class ImageFolderDataset:
             yield i / self.fps, img
 
     def ideal_camera(self) -> PinholeCamera:
-        if isinstance(self.camera, PinholeCamera):
-            return self.camera.ideal()
-        return self.camera
+        """The pinhole the VO runs on (after undistort-once) — for the
+        ATAN model too (its raw fx/fy/cx/cy are the ideal intrinsics)."""
+        return self.camera.ideal()
 
 
 def write_synthetic_dataset(out_dir: str, n_frames: int = 60, seed: int = 0,

@@ -143,12 +143,22 @@ def render_aa(scene: PlaneScene, cam: PinholeCamera, R_w_c, t_w_c, ss: int = 2):
     assert ss in (1, 2, 4)
     if ss == 1:
         return render(scene, cam, R_w_c, t_w_c)
-    cam_ss = PinholeCamera.create(
-        cam.width * ss, cam.height * ss,
-        cam.fx * ss, cam.fy * ss,
-        # pixel-center convention: center of SS block maps to original center
-        cam.cx * ss + (ss - 1) / 2.0, cam.cy * ss + (ss - 1) / 2.0,
-        cam.dist)
+    from plsvo_tpu.camera import ATANCamera
+
+    if isinstance(cam, ATANCamera):
+        cam_ss = ATANCamera(
+            fx=cam.fx * ss, fy=cam.fy * ss,
+            cx=cam.cx * ss + (ss - 1) / 2.0,
+            cy=cam.cy * ss + (ss - 1) / 2.0, w=cam.w,
+            width=cam.width * ss, height=cam.height * ss)
+    else:
+        cam_ss = PinholeCamera.create(
+            cam.width * ss, cam.height * ss,
+            cam.fx * ss, cam.fy * ss,
+            # pixel-center convention: center of SS block maps to original
+            # center
+            cam.cx * ss + (ss - 1) / 2.0, cam.cy * ss + (ss - 1) / 2.0,
+            cam.dist)
     img, depth = render(scene, cam_ss, R_w_c, t_w_c)
     while ss > 1:
         img = half_sample(img)

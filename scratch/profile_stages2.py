@@ -175,8 +175,8 @@ for name, fn in [("FULL step", stage_full),
 
 
 def stage_detect(eps):
-    grid, segs = vo._detect_features(perturb(pyr, eps))
-    return grid, segs
+    grid, segs, egrid = vo._detect_features(perturb(pyr, eps))
+    return grid, segs, egrid
 
 
 def stage_detect_pts(eps):

@@ -1,0 +1,62 @@
+"""Multi-host distributed runtime: init wrapper, hybrid mesh, hierarchical
+(ICI-then-DCN) BA equivalence on a virtual (2,4) mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plsvo_tpu.parallel import ba, distributed
+from tests.test_ba import make_problem, pose_errors
+
+
+def test_initialize_single_process_is_safe():
+    # plain single-process run: no coordinator, nothing to autodetect ->
+    # False, and calling again stays safe
+    assert distributed.initialize() is False
+    assert distributed.initialize() is False
+    assert jax.process_count() == 1
+
+
+def test_hybrid_mesh_shapes():
+    mesh = distributed.hybrid_mesh(ici_per_host=4)
+    assert mesh.axis_names == ("dcn", "ici")
+    assert mesh.shape["dcn"] == 2 and mesh.shape["ici"] == 4
+    # degenerate single-host mesh
+    mesh1 = distributed.hybrid_mesh()
+    assert mesh1.shape["dcn"] == 1
+    assert mesh1.shape["ici"] == len(jax.devices())
+
+
+def test_multihost_ba_matches_single(rng):
+    prob, gt = make_problem(rng, L=64)
+    mesh = distributed.hybrid_mesh(ici_per_host=4)
+    prob_sharded = distributed.scatter_problem(prob, mesh)
+
+    out_h1, _ = distributed.bundle_adjust_multihost(prob_sharded, mesh,
+                                                    n_iter=1)
+    out_11, _ = ba.bundle_adjust(prob, n_iter=1)
+    np.testing.assert_allclose(
+        np.asarray(out_h1.kf_t), np.asarray(out_11.kf_t), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_h1.lm_pos), np.asarray(out_11.lm_pos), atol=2e-3)
+
+    # multi-iteration: convergence quality matches the single-device run
+    out_h, stats_h = distributed.bundle_adjust_multihost(prob_sharded, mesh,
+                                                         n_iter=8)
+    out_1, stats_1 = ba.bundle_adjust(prob, n_iter=8)
+    R_gt, t_gt, pos_gt = gt
+    _, dist_h = pose_errors(out_h, R_gt, t_gt)
+    _, dist_1 = pose_errors(out_1, R_gt, t_gt)
+    assert dist_h[2:].max() < 1.5 * max(dist_1[2:].max(), 1e-4)
+    assert float(stats_h.chi2) < 1.2 * float(stats_1.chi2) + 1e-8
+    assert int(stats_h.n_obs) == int(stats_1.n_obs)
+
+
+def test_multihost_ba_fixed_poses_stay_fixed(rng):
+    prob, _ = make_problem(rng, L=64)
+    mesh = distributed.hybrid_mesh(ici_per_host=4)
+    out, _ = distributed.bundle_adjust_multihost(
+        distributed.scatter_problem(prob, mesh), mesh, n_iter=4)
+    np.testing.assert_allclose(
+        np.asarray(out.kf_R[:2]), np.asarray(prob.kf_R[:2]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.kf_t[:2]), np.asarray(prob.kf_t[:2]), atol=1e-6)

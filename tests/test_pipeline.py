@@ -373,3 +373,61 @@ def test_pipeline_with_distorted_camera(rng):
     gt = np.stack(poses[fd:])
     ate = trajectory.ate_rmse(est, gt)
     assert ate < 0.02, f"ATE {ate}"
+
+
+def test_pipeline_with_atan_camera(rng):
+    """Render through an ATAN/FOV-distorted camera, undistort on ingest,
+    track with the ideal pinhole — the reference's ATAN dataset flow
+    (app/run_pipeline.cpp:806-817,409-411). Mirrors
+    test_pipeline_with_distorted_camera for the second camera model."""
+    from plsvo_tpu.camera import ATANCamera
+    from plsvo_tpu.utils import dataset as ds
+
+    # normalized intrinsics + FOV parameter (the reference's YAML encoding)
+    cam_d = ATANCamera.create(320, 240, 250.0 / 320, 250.0 / 240,
+                              0.5, 0.5, w=0.93)
+    assert cam_d.has_distortion
+    maps = ds.undistort_maps(cam_d)
+    scene = synthetic.make_scene(rng, size=1024)
+    vo = FrameHandlerMono(cam_d.ideal(), fast_config())
+    poses = []
+    n = 20
+    for i in range(n):
+        R = np.eye(3, dtype=np.float32)
+        t = np.asarray([0.025 * i, 0.0, -2.0], np.float32)
+        img_d, _ = synthetic.render_aa(scene, cam_d, jnp.asarray(R),
+                                       jnp.asarray(t))
+        img_u = ds.undistort_image(np.asarray(img_d), maps)
+        vo.add_image(img_u, i / 30.0)
+        poses.append(t)
+    stages = [r.stage for r in vo.results]
+    assert STAGE_DEFAULT in stages
+    fd = stages.index(STAGE_DEFAULT)
+    est = np.stack([-r.R_f_w.T @ r.t_f_w for r in vo.results[fd:]])
+    gt = np.stack(poses[fd:])
+    ate = trajectory.ate_rmse(est, gt)
+    assert ate < 0.02, f"ATE {ate}"
+
+
+def test_atan_dataset_ideal_camera(tmp_path, rng):
+    """ImageFolderDataset builds undistort maps for an ATAN camera and
+    ideal_camera() returns the matching pinhole."""
+    from PIL import Image
+
+    from plsvo_tpu.camera import ATANCamera, PinholeCamera
+    from plsvo_tpu.utils.dataset import ImageFolderDataset
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    img = (rng.uniform(0, 255, (48, 64))).astype(np.uint8)
+    Image.fromarray(img).save(folder / "f0.png")
+    cam = ATANCamera.create(64, 48, 0.8, 0.8, 0.5, 0.5, w=0.9)
+    dset = ImageFolderDataset(str(folder), cam)
+    assert dset._maps is not None
+    ideal = dset.ideal_camera()
+    assert isinstance(ideal, PinholeCamera)
+    assert not ideal.has_distortion
+    np.testing.assert_allclose(float(np.asarray(ideal.fx)),
+                               float(np.asarray(cam.fx)))
+    _, frame = next(iter(dset))
+    assert frame.shape == (48, 64)
