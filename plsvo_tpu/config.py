@@ -171,7 +171,10 @@ class CapacityConfig:
     n_line_samples: int = 8  # fixed patch samples per segment (vs dynamic
     # setupSampling, src/feature.cpp:160-173)
     max_klt_fts: int = 512  # bootstrap KLT tracks
-    max_obs_per_landmark: int = 8  # observation slots per landmark (BA)
+    max_obs_per_landmark: int = 16  # observation slots per landmark (BA);
+    #   >= max_keyframes so one slot per live KF always exists and the
+    #   add-observation path only ever recycles slots freed by KF eviction
+    #   (reference keeps an unbounded obs list, feature3D.h:62-73)
 
 
 @dataclass(frozen=True)

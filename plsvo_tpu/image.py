@@ -309,54 +309,114 @@ def ensure_flat_atlas(kf) -> FlatAtlas:
 # ---------------------------------------------------------------------------
 
 
+def gather_windows_raw(img, corner_i, wp: int):
+    """ONE slice-gather of (N, wp, wp) raw windows at integer corners.
+
+    corner_i: (N,2) int32 (u,v), already clipped to [0, max(dim-wp, 0)];
+    wp must be even. Two mechanisms, chosen by measured cost
+    (scratch/bench_win_variants.py):
+    - wp <= 16: wp^2/4 packed-tap 2x2 block gathers per window
+      (contiguous 4-vectors, ~10 ns/block; the pack's 4x image
+      materialization is CSE'd across all gathers on the same image in
+      one program)
+    - wp > 16: one vmapped dynamic_slice per window (~0.8 us/slice flat
+      overhead — cheaper than wp^2/4 blocks once windows are large, and
+      it never materializes a packed image)
+    Images smaller than the window are zero-padded (callers' bounds masks
+    reject the pad taps)."""
+    H, W = img.shape
+    if H < wp or W < wp:
+        img = jnp.pad(img, ((0, max(wp - H, 0)), (0, max(wp - W, 0))))
+    if wp > 16:
+        def slice_one(c):
+            return jax.lax.dynamic_slice(img, (c[1], c[0]), (wp, wp))
+
+        return jax.vmap(slice_one)(corner_i)
+    packed = pack_bilinear(img)  # (H, W, 4)
+    nb = wp // 2
+    bj = jnp.arange(nb, dtype=jnp.int32) * 2
+    gu = corner_i[:, 0:1] + bj[None]  # (N,nb)
+    gv = corner_i[:, 1:2] + bj[None]
+    blocks = packed[gv[:, :, None], gu[:, None, :]]  # (N,nb,nb,4)
+    N = blocks.shape[0]
+    return (blocks.reshape(N, nb, nb, 2, 2)
+            .transpose(0, 1, 3, 2, 4).reshape(N, wp, wp))
+
+
 def gather_patch_windows(img, uv_center, wp: int):
     """Prefetch (N, wp, wp) raw-intensity windows centered at uv_center.
 
-    img: (H, W) image. wp must be even. Returns (win, corner) with corner
-    (N,2) float32 absolute (u,v) of win[:,0,0]. Gathers wp^2/4 packed-tap
-    2x2 blocks per feature (contiguous 4-vectors, ~3.6x cheaper than
-    per-pixel gathers). The image is zero-padded internally so windows
-    crossing the border contain zeros (callers mask validity
-    arithmetically; padding prevents clamp-induced misalignment)."""
+    img: (H, W) image. Returns (win, corner) with corner (N,2) float32
+    absolute (u,v) of win[:,0,0]. One slice-gather of N contiguous windows
+    (see gather_windows_raw). The corner is clamped into the image, so a
+    window near the border SHIFTS instead of zero-padding; callers mask
+    per-tap validity against the true image bounds (sample_patch_windows
+    wh arg / in-window checks), which the shift never loosens."""
     H, W = img.shape
-    pad = wp
-    padded = jnp.pad(img, ((pad, pad), (pad, pad)))
-    packed = pack_bilinear(padded)
     corner = jnp.floor(uv_center - (wp / 2.0 - 1.0))  # (N,2) float (u,v)
-    ci = corner.astype(jnp.int32) + pad
-    nb = wp // 2
-    bj = jnp.arange(nb, dtype=jnp.int32) * 2
-    gu = ci[:, 0:1] + bj[None]  # (N,nb)
-    gv = ci[:, 1:2] + bj[None]
-    blocks = packed[gv[:, :, None], gu[:, None, :]]  # (N,nb,nb,4)
-    N = blocks.shape[0]
-    win = (blocks.reshape(N, nb, nb, 2, 2)
-           .transpose(0, 1, 3, 2, 4).reshape(N, wp, wp))
-    return win, corner
+    ci = corner.astype(jnp.int32)
+    cu = jnp.clip(ci[:, 0], 0, max(W - wp, 0))
+    cv = jnp.clip(ci[:, 1], 0, max(H - wp, 0))
+    win = gather_windows_raw(img, jnp.stack([cu, cv], -1), wp)
+    corner_eff = jnp.stack([cu, cv], -1).astype(uv_center.dtype)
+    return win, corner_eff
 
 
 def gather_patch_windows_atlas(atlas, x_offsets, uv_center, level, wp: int):
     """gather_patch_windows through a pyramid atlas: uv_center is in each
     feature's OWN level coords; the gather adds x_offsets[level]. corner is
-    returned in level coords. The atlas is zero-padded internally; level
-    bounds are the caller's to enforce (sample_patch_windows wh arg)."""
+    returned in level coords. Corners clamp to the FLAT atlas bounds (a
+    window near a level edge reads into the inter-level gap — those taps
+    are rejected by the caller's level-bounds mask, sample_patch_windows
+    wh arg)."""
     H, Wt = atlas.shape[-2:]
-    pad = wp
-    padded = jnp.pad(atlas, ((pad, pad), (pad, pad)))
-    packed = pack_bilinear(padded)
     corner = jnp.floor(uv_center - (wp / 2.0 - 1.0))
     ci = corner.astype(jnp.int32)
-    cu = ci[:, 0] + x_offsets[level] + pad
-    cv = ci[:, 1] + pad
-    nb = wp // 2
-    bj = jnp.arange(nb, dtype=jnp.int32) * 2
-    gu = cu[:, None] + bj[None]
-    gv = cv[:, None] + bj[None]
-    blocks = packed[gv[:, :, None], gu[:, None, :]]
-    N = blocks.shape[0]
-    win = (blocks.reshape(N, nb, nb, 2, 2)
-           .transpose(0, 1, 3, 2, 4).reshape(N, wp, wp))
-    return win, corner
+    xo = x_offsets[level]
+    cu_flat = jnp.clip(ci[:, 0] + xo, 0, max(Wt - wp, 0))
+    cv = jnp.clip(ci[:, 1], 0, max(H - wp, 0))
+    win = gather_windows_raw(atlas, jnp.stack([cu_flat, cv], -1), wp)
+    corner_eff = jnp.stack([(cu_flat - xo), cv], -1).astype(uv_center.dtype)
+    return win, corner_eff
+
+
+def sample_in_window(win, corner, pos):
+    """Bilinear-sample ARBITRARY per-tap positions from prefetched windows.
+
+    win: (N, wp, wp) raw windows; corner: (N, 2) absolute (u, v) of
+    win[:,0,0] (same frame as pos); pos: (N, T, 2) absolute tap positions
+    (each tap its own fractional offset — unlike sample_patch_windows,
+    which requires one shared offset per window). Returns (vals (N, T),
+    ok (N, T)) with ok true iff the tap's full 2x2 support lies inside the
+    window.
+
+    Mechanism: soft one-hot row/column selection contracted on the MXU —
+    ztop[n,t,j] = sum_v rowsel[n,t,v] * win[n,v,j], then a column
+    contraction — zero gathers. The row/col selectors carry the bilinear
+    lerp weights ((1-f) at floor, f at floor+1), so the contraction IS the
+    bilinear interpolation."""
+    N, wp, _ = win.shape
+    f32 = jnp.float32
+    local = pos - corner[:, None, :]  # (N,T,2) window-local
+    lu = local[..., 0]
+    lv = local[..., 1]
+    iu = jnp.floor(lu)
+    iv = jnp.floor(lv)
+    fu = (lu - iu).astype(f32)
+    fv = (lv - iv).astype(f32)
+    ok = (iu >= 0) & (iv >= 0) & (iu <= wp - 2) & (iv <= wp - 2)
+    iuc = jnp.clip(iu, 0, wp - 2)
+    ivc = jnp.clip(iv, 0, wp - 2)
+    grid = jnp.arange(wp, dtype=f32)
+    # soft one-hot: weight (1-f) at floor, f at floor+1
+    rsel = (jnp.where(grid == ivc[..., None], 1.0 - fv[..., None], 0.0)
+            + jnp.where(grid == ivc[..., None] + 1.0, fv[..., None], 0.0))
+    csel = (jnp.where(grid == iuc[..., None], 1.0 - fu[..., None], 0.0)
+            + jnp.where(grid == iuc[..., None] + 1.0, fu[..., None], 0.0))
+    ztop = jnp.einsum("ntv,nvj->ntj", rsel, win.astype(f32),
+                      preferred_element_type=f32)  # (N,T,wp)
+    vals = jnp.einsum("ntj,ntj->nt", ztop, csel)
+    return jnp.where(ok, vals, 0.0), ok
 
 
 def sample_patch_windows(win, corner, uv, patch_size: int, wh=None):

@@ -153,6 +153,10 @@ class SeedUpdateResult(NamedTuple):
     converged: jnp.ndarray  # (S,) harvest now
     matched: jnp.ndarray  # (S,) got an epipolar match this frame
     depth_converged: jnp.ndarray  # (S,) 1/mu for harvested seeds
+    skipped: jnp.ndarray = jnp.zeros((0,), bool)  # (S,) budget-starved
+    #   this frame: searchable long-band seeds deferred by
+    #   seed_search_budget without a search or a penalty — surfaced so the
+    #   permon `seed_starved` channel can expose systematic starvation
 
 
 @partial(jax.jit, static_argnames=("patch_size", "n_epi_steps", "max_seed_kfs",
@@ -274,7 +278,13 @@ def update_point_seeds(
         band = band0 / (1 << slevel).astype(f32)
         band = jnp.where(search_valid, band, -1.0)
         is_short = search_valid & (band <= 2.0)
-        long_key = jnp.where(is_short, -1.0, band)
+        # budget priority: longest bands first, DIVIDED by accumulated
+        # failures (b grows by 1 per failed search) — a seed that keeps
+        # failing cannot monopolize the budget, so every searchable seed
+        # is reached within a bounded number of frames even when the top
+        # band-length order is static (starvation bound, VERDICT r2 #5)
+        fail_w = 1.0 + jnp.maximum(seeds.b - 10.0, 0.0)
+        long_key = jnp.where(is_short, -1.0, band / fail_w)
         _, idx_long = jax.lax.top_k(long_key, k_search)
         sub = lambda a: a[idx_long]
         epi_sub = matcher_ops.epipolar_search_sliding_atlas(
@@ -382,7 +392,8 @@ def update_point_seeds(
         mu=mu, sigma2=sigma2, a=a_new, b=b_new, alive=alive_out)
     return SeedUpdateResult(
         seeds=new_seeds, converged=converged, matched=matched,
-        depth_converged=1.0 / jnp.maximum(mu, 1e-10))
+        depth_converged=1.0 / jnp.maximum(mu, 1e-10),
+        skipped=skipped)
 
 
 @partial(jax.jit, static_argnames=("patch_size", "n_epi_steps", "max_seed_kfs",
@@ -530,6 +541,7 @@ class LineSeedUpdateResult(NamedTuple):
     matched: jnp.ndarray  # (S,) both endpoints matched
     depth_s: jnp.ndarray  # (S,) converged start-endpoint depths (1/mu_s)
     depth_e: jnp.ndarray
+    skipped: jnp.ndarray = jnp.zeros((0,), bool)  # (S,) either endpoint starved
 
 
 def _line_endpoint_view(seeds: LineSeeds, start: bool) -> PointSeeds:
@@ -607,7 +619,8 @@ def _combine_line_endpoint_results(
     return LineSeedUpdateResult(
         seeds=new_seeds, converged=converged, matched=both,
         depth_s=1.0 / jnp.maximum(mu_s, 1e-10),
-        depth_e=1.0 / jnp.maximum(mu_e, 1e-10))
+        depth_e=1.0 / jnp.maximum(mu_e, 1e-10),
+        skipped=rs.skipped | re_.skipped)
 
 
 @partial(jax.jit, static_argnames=("patch_size", "n_epi_steps",

@@ -275,7 +275,7 @@ from plsvo_tpu.ops.feature_align import (align2d_atlas,  # noqa: E402
                                          align_mixed_atlas)
 
 
-@partial(jax.jit, static_argnames=("patch_size",))
+@partial(jax.jit, static_argnames=("patch_size", "window"))
 def warp_patches_affine_atlas(
     kf_flat,  # image.FlatAtlas — pre-packed keyframe pyramid super-atlas
     kf_idx: jnp.ndarray,  # (N,)
@@ -284,11 +284,32 @@ def warp_patches_affine_atlas(
     A_ref_cur: jnp.ndarray,  # (N,2,2)
     search_level: jnp.ndarray,  # (N,)
     patch_size: int = 8,
+    window: int = 24,
 ):
     """warp_patches_affine through each feature's own keyframe atlas.
 
     kf_flat is the flat-packed super-atlas (image.pack_pyramid_atlas_flat)
-    — built once per keyframe change (MapState cache), not per frame."""
+    — built once per keyframe change (MapState cache), not per frame.
+
+    Sampling mechanism: ONE contiguous (window x window) slice-gather per
+    feature around the warped-patch center, then all (P+2)^2 warped taps
+    are bilinear-interpolated IN-REGISTER from the window
+    (image.sample_in_window soft-one-hot contraction) — replacing the
+    previous per-tap gather, which paid a pack_bilinear of the whole flat
+    atlas (4x its size in HBM traffic) plus (P+2)^2 scattered 4-float
+    gather segments per feature. Measured ~5x faster at production sizes.
+
+    When the warp's tap spacing exceeds 1 anchor-level px (zoomed-out
+    current view, or a search level bumped for a long epipolar band), the
+    anchor patch is sampled from a correspondingly COARSER anchor pyramid
+    level so the taps stay within the window — a deliberate divergence
+    from the reference, which samples the anchor level with arbitrarily
+    wide (aliased) tap spacing (matcher.cpp:88-129); the coarser level is
+    the anti-aliased version of the same texture. Warps too extreme even
+    for the coarsest available level fail (ok=False), behaving like any
+    failed match."""
+    from plsvo_tpu.image import gather_windows_raw, sample_in_window
+
     B = patch_size + 2
     half = B / 2.0
     r = jnp.arange(B, dtype=jnp.float32) - half + 0.5
@@ -296,21 +317,46 @@ def warp_patches_affine_atlas(
     offs = jnp.stack([ox.ravel(), oy.ravel()], -1)  # (B*B,2)
 
     N = uv_ref.shape[0]
+    max_level = kf_flat.sizes.shape[0] - 1
     sl = (1 << search_level).astype(jnp.float32)[:, None, None]
     offs_cur0 = offs[None] * sl
     offs_ref = jnp.einsum("nij,npj->npi", A_ref_cur, offs_cur0)  # anchor-level units
-    scale_ref = 1.0 / (1 << level_ref).astype(jnp.float32)
-    pos = uv_ref[:, None, :] * scale_ref[:, None, None] + offs_ref  # (N,BB,2)
+    # tap spacing in anchor-level px = column norms of A_ref_cur * 2^sl;
+    # bump the anchor level until spacing < 2 so taps fit the window
+    # (ordinary tracking warps have spacing ~0.6-1.2 and never bump —
+    # only long-band level bumps / extreme zoom-outs trigger this)
+    spacing = jnp.sqrt(jnp.maximum(
+        jnp.sum(A_ref_cur * A_ref_cur, axis=1).max(axis=-1), 1e-12)
+    ) * sl[:, 0, 0]
+    extra = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(spacing / 1.9, 1.0))
+                              ).astype(jnp.int32),
+                     0, jnp.maximum(max_level - level_ref, 0))
+    lvl_eff = level_ref + extra
+    rescale = 1.0 / (1 << extra).astype(jnp.float32)
+    scale_ref = 1.0 / (1 << lvl_eff).astype(jnp.float32)
+    center = uv_ref * scale_ref[:, None]  # (N,2) effective-level coords
+    pos = center[:, None, :] + offs_ref * rescale[:, None, None]  # (N,BB,2)
 
-    lvl = level_ref[:, None]
+    lvl = lvl_eff[:, None]
     h = kf_flat.sizes[lvl, 0].astype(jnp.float32)
     w = kf_flat.sizes[lvl, 1].astype(jnp.float32)
     u = pos[..., 0]
     v = pos[..., 1]
+    # 1px-interior parity with bilinear_sample's support check
     in_level = (u >= 0) & (v >= 0) & (u <= w - 1) & (v <= h - 1)
-    ua = (u + kf_flat.x_off[lvl].astype(jnp.float32)
-          + kf_idx[:, None].astype(jnp.float32) * kf_flat.width)
-    vals, ok = bilinear_sample(kf_flat.flat, jnp.stack([ua, v], -1))
+
+    H, Wt = kf_flat.flat.shape
+    wp = window
+    xo = (kf_flat.x_off[lvl_eff]
+          + (kf_idx * kf_flat.width.astype(jnp.int32)).astype(jnp.int32))
+    cu = jnp.clip(jnp.floor(center[:, 0]).astype(jnp.int32) - wp // 2 + 1
+                  + xo, 0, max(Wt - wp, 0))
+    cv = jnp.clip(jnp.floor(center[:, 1]).astype(jnp.int32) - wp // 2 + 1,
+                  0, max(H - wp, 0))
+    win = gather_windows_raw(kf_flat.flat, jnp.stack([cu, cv], -1), wp)
+    corner = jnp.stack([cu.astype(jnp.float32) - xo.astype(jnp.float32),
+                        cv.astype(jnp.float32)], -1)
+    vals, ok = sample_in_window(win, corner, pos)
     vals = jnp.where(in_level, vals, 0.0)
     return vals, jnp.all(in_level & ok, axis=-1)
 
@@ -458,15 +504,39 @@ def epipolar_search_sliding_atlas(
     d = jnp.where(band[:, None] > 1e-6, d, jnp.asarray([[1.0, 0.0]], f32))
     nvec = jnp.stack([-d[:, 1], d[:, 0]], -1)
 
-    # window samples: rows i along the epipolar dir, cols j across
+    # band samples: rows i along the epipolar dir, cols j across. Sampled
+    # from ONE contiguous axis-aligned bounding window per seed
+    # (image.gather_windows_raw + soft-one-hot in-window interpolation)
+    # instead of per-tap gathers through a packed atlas — the rotated band
+    # of <= n_steps+P taps fits a static (wb x wb) box since the level
+    # bump caps the band length at n_steps px (ops/depth_filter.py).
     W_rows = n_steps + P
     ii = jnp.arange(W_rows, dtype=f32) - (P / 2.0 - 0.5)
     jj = jnp.arange(P, dtype=f32) - (P / 2.0 - 0.5)
     pos = (uvA[:, None, None, :]
            + d[:, None, None, :] * ii[None, :, None, None]
            + nvec[:, None, None, :] * jj[None, None, :, None])  # (N,WR,P,2)
-    win, ok = bilinear_sample_atlas(
-        cur_atlas, x_off, sizes, pos, search_level[:, None, None])
+    from plsvo_tpu.image import gather_windows_raw, sample_in_window
+
+    h_lvl = sizes[search_level, 0].astype(f32)
+    w_lvl = sizes[search_level, 1].astype(f32)
+    in_lvl = ((pos[..., 0] >= 0) & (pos[..., 1] >= 0)
+              & (pos[..., 0] <= w_lvl[:, None, None] - 1)
+              & (pos[..., 1] <= h_lvl[:, None, None] - 1))
+    wb = W_rows + P + 4
+    Hf, Wf = cur_atlas.shape
+    mid = 0.5 * (uvA + uvB)
+    xo = x_off[search_level]
+    cu = jnp.clip(jnp.floor(mid[:, 0]).astype(jnp.int32) - wb // 2 + xo,
+                  0, max(Wf - wb, 0))
+    cv = jnp.clip(jnp.floor(mid[:, 1]).astype(jnp.int32) - wb // 2,
+                  0, max(Hf - wb, 0))
+    band_win = gather_windows_raw(cur_atlas, jnp.stack([cu, cv], -1), wb)
+    band_corner = jnp.stack([(cu - xo).astype(f32), cv.astype(f32)], -1)
+    vals, ok_w = sample_in_window(band_win, band_corner,
+                                  pos.reshape(N, W_rows * P, 2))
+    win = jnp.where(in_lvl, vals.reshape(N, W_rows, P), 0.0)
+    ok = ok_w.reshape(N, W_rows, P) & in_lvl
 
     # rotated resampling of the bordered ref patch (tiny local gather)
     B = P + 2

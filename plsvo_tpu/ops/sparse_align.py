@@ -85,25 +85,41 @@ def _patch_and_grad(img: jnp.ndarray, centers: jnp.ndarray, patch_size: int):
     """Bilinear patch + central-difference gradient of the *interpolated*
     image at each patch pixel (matches sparse_img_align.cpp:252-258).
 
-    Sampled as ONE gather through a multi-channel packed texture holding
-    [I, dx, dy] (dense central-difference maps): interpolating a dense
-    gradient map equals differencing the interpolant — both are linear
-    shift-invariant operators — so this is exact, at 1/5 the gather
-    segments of sampling I at five offsets.
+    Mechanism: ONE contiguous (wp x wp) slice-gather per feature
+    (image.gather_patch_windows), then I/dx/dy at all patch taps are
+    resampled from the window arithmetically (the taps share one
+    fractional offset per feature, so image.sample_patch_windows applies).
+    Interpolating an in-window central-difference map equals differencing
+    the interpolant — both linear shift-invariant — so the gradients are
+    exact; the previous implementation gathered a dense-packed [I,dx,dy]
+    texture per tap, paying a 12x image materialization + per-tap gather
+    segments.
 
-    centers: (..., 2) level coords. Returns (I, dx, dy, valid_all) with
-    I/dx/dy shaped (..., P) and valid (...,) requiring the whole bordered
-    patch in-frame (halfsize+1, sparse_img_align.cpp:219)."""
-    from plsvo_tpu.image import (bilinear_sample_multi, gradient,
-                                 pack_bilinear_multi)
+    centers: (N, 2) level coords. Returns (I, dx, dy, valid_all) with
+    I/dx/dy shaped (N, P) and valid (N,) requiring the whole bordered
+    patch 1px inside the frame (halfsize+1, sparse_img_align.cpp:219)."""
+    from plsvo_tpu.image import gather_patch_windows, sample_patch_windows
 
-    offs = patch_offsets(patch_size, centers.dtype)  # (P, 2)
-    pos = centers[..., None, :] + offs  # (..., P, 2)
-    dx_map, dy_map = gradient(img)
-    packed = pack_bilinear_multi([img, dx_map, dy_map])  # (H,W,4,3)
-    vals, ok = bilinear_sample_multi(packed, pos)  # (...,P,3)
-    valid = jnp.all(ok, axis=-1)
-    return vals[..., 0], vals[..., 1], vals[..., 2], valid
+    H, W = img.shape
+    P = patch_size
+    wp = P + 6  # frac(1) + grad margin(2) each side, rounded even
+    wp += wp % 2
+    win, corner = gather_patch_windows(img, centers, wp)
+    dxw = jnp.pad(0.5 * (win[:, :, 2:] - win[:, :, :-2]),
+                  ((0, 0), (0, 0), (1, 1)))
+    dyw = jnp.pad(0.5 * (win[:, 2:, :] - win[:, :-2, :]),
+                  ((0, 0), (1, 1), (0, 0)))
+    I, ok_w = sample_patch_windows(win, corner, centers, P)
+    dx, _ = sample_patch_windows(dxw, corner, centers, P)
+    dy, _ = sample_patch_windows(dyw, corner, centers, P)
+    # validity parity with the old dense-map path: every tap's bilinear
+    # support 1px interior (gradient maps were zeroed on the border ring)
+    first = centers - (P / 2.0 - 0.5)
+    au0 = jnp.floor(first[..., 0])
+    av0 = jnp.floor(first[..., 1])
+    valid = (ok_w & (au0 >= 1) & (av0 >= 1)
+             & (au0 + P <= W - 2) & (av0 + P <= H - 2))
+    return I, dx, dy, valid
 
 
 def _warp_project(R, t, xyz, fx, fy, cx, cy, scale):

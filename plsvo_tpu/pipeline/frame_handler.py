@@ -1282,7 +1282,8 @@ class FrameHandlerMono:
                 self.pt_seeds, jnp.asarray(rows), jnp.asarray(pad_alive),
                 *cam_args, **kw)
             self._pt_converged_dev = (res.converged, res.depth_converged,
-                                      res.seeds.alive)
+                                      res.seeds.alive,
+                                      jnp.sum(res.skipped).astype(jnp.int32))
             self._pt_rows = alive_idx
 
         self._ln_converged_dev = None
@@ -1299,7 +1300,9 @@ class FrameHandlerMono:
                     self.ln_seeds, jnp.asarray(rows), jnp.asarray(pad_alive),
                     *cam_args, **kw)
                 self._ln_converged_dev = (lres.converged, lres.depth_s,
-                                          lres.depth_e, lres.seeds.alive)
+                                          lres.depth_e, lres.seeds.alive,
+                                          jnp.sum(lres.skipped).astype(
+                                              jnp.int32))
                 self._ln_rows = lalive_idx
 
     def _harvest_seeds(self):
@@ -1326,8 +1329,12 @@ class FrameHandlerMono:
         self._ln_converged_dev = None
         gi = 0
         if has_pt:
-            conv, depth, alive_b = got[gi]
+            conv, depth, alive_b, *extra = got[gi]
             gi += 1
+            # budget-starvation observability (permon `seed_starved`):
+            # searchable seeds deferred by seed_search_budget this frame
+            self.permon.log("seed_starved",
+                            int(extra[0]) if extra else 0)
             nrows = len(self._pt_rows)
             self._seed_alive[self._pt_rows] = alive_b[:nrows]
             sh = self._seed_host
@@ -1342,7 +1349,9 @@ class FrameHandlerMono:
                             int(sh["level"][i]), status=ST_CANDIDATE,
                             ftype=int(sh["type"][i]), grad_dir=sh["dir"][i])
         if has_ln:
-            lconv, ds, de, lalive_b = got[gi]
+            lconv, ds, de, lalive_b, *lextra = got[gi]
+            self.permon.log("seed_starved_ln",
+                            int(lextra[0]) if lextra else 0)
             nrows = len(self._ln_rows)
             self._lnseed_alive[self._ln_rows] = lalive_b[:nrows]
             lh = self._lnseed_host

@@ -422,8 +422,8 @@ class FullStepResult(NamedTuple):
     fused: FusedResult
     pt_seeds: object  # PointSeeds (device-resident; NOT fetched per frame)
     ln_seeds: object  # LineSeeds or None
-    pt_conv: object  # (converged, depth, alive) or None
-    ln_conv: object  # (converged, depth_s, depth_e, alive) or None
+    pt_conv: object  # (converged, depth, alive, n_starved) or None
+    ln_conv: object  # (converged, depth_s, depth_e, alive, n_starved) or None
     next: object = None  # NextFrameInputs (pipelined mode) or None
 
 
@@ -639,7 +639,8 @@ def _track_frame_step_impl(
             pt_conv = (
                 jnp.concatenate([pres.converged, jnp.zeros(pad, bool)]),
                 jnp.concatenate([pres.depth_converged, jnp.zeros(pad)]),
-                jnp.concatenate([pres.seeds.alive, tail_alive]))
+                jnp.concatenate([pres.seeds.alive, tail_alive]),
+                jnp.sum(pres.skipped).astype(jnp.int32))
         if update_ln_seeds:
             tail_alive = ln_seeds.alive[Wl:]
             ln_seeds = jax.tree.map(
@@ -650,7 +651,8 @@ def _track_frame_step_impl(
                 jnp.concatenate([lres.converged, jnp.zeros(pad, bool)]),
                 jnp.concatenate([lres.depth_s, jnp.zeros(pad)]),
                 jnp.concatenate([lres.depth_e, jnp.zeros(pad)]),
-                jnp.concatenate([lres.seeds.alive, tail_alive]))
+                jnp.concatenate([lres.seeds.alive, tail_alive]),
+                jnp.sum(lres.skipped).astype(jnp.int32))
 
     nxt = None
     if emit_next:

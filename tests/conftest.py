@@ -23,3 +23,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules: the XLA:CPU compiler
+    has been observed to segfault (deterministically, deep into the suite)
+    once hundreds of executables from every module accumulate in one
+    process; per-module cache clearing keeps the live-executable count
+    bounded at a small recompile cost."""
+    yield
+    jax.clear_caches()
