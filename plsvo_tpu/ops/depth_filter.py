@@ -233,7 +233,8 @@ def update_point_seeds(
     )(seeds.uv, seeds.f, depth, seeds.level, R_cr, t_cr)
     detA = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
     A_ok = jnp.abs(detA) > 1e-6
-    A_inv = jnp.linalg.inv(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
+    from plsvo_tpu.batlin import inv2x2
+    A_inv = inv2x2(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
     max_level = len(cur_pyr) - 1
     slevel = matcher_ops.best_search_level(A, max_level)
     # long-band coverage (reference parity, matcher.cpp:347-356): the

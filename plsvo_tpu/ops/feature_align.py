@@ -22,6 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from plsvo_tpu.batlin import inv2x2, inv3x3
 from plsvo_tpu.image import bilinear_sample, patch_offsets
 
 
@@ -66,7 +67,7 @@ def align2d(
     ones = jnp.ones_like(ref_dx)
     J = jnp.stack([ref_dx, ref_dy, ones], axis=-1)  # (N,P,3)
     H = jnp.einsum("npi,npj->nij", J, J)
-    Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(3, dtype=f32))
+    Hinv = inv3x3(H, 1e-6)
 
     def cond(carry):
         it, uv, mean_diff, conv, active_any = carry
@@ -125,7 +126,7 @@ def align1d(
     ones = jnp.ones_like(dgrad)
     J = jnp.stack([dgrad, ones], axis=-1)  # (N,P,2)
     H = jnp.einsum("npi,npj->nij", J, J)
-    Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(2, dtype=f32))
+    Hinv = inv2x2(H, 1e-6)
 
     def cond(carry):
         it, dist, mean_diff, conv, active_any = carry
@@ -193,7 +194,7 @@ def align1d_atlas(
     ones = jnp.ones_like(dgrad)
     J = jnp.stack([dgrad, ones], axis=-1)  # (N,P,2)
     H = jnp.einsum("npi,npj->nij", J, J)
-    Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(2, dtype=f32))
+    Hinv = inv2x2(H, 1e-6)
     win, corner = gather_patch_windows_atlas(
         atlas, x_off, uv_init.astype(f32), level, wp)
     wh = (sizes[level, 1].astype(f32), sizes[level, 0].astype(f32))
@@ -261,7 +262,7 @@ def align2d_atlas(
     ones = jnp.ones_like(ref_dx)
     J = jnp.stack([ref_dx, ref_dy, ones], axis=-1)
     H = jnp.einsum("npi,npj->nij", J, J)
-    Hinv = jnp.linalg.inv(H + 1e-6 * jnp.eye(3, dtype=f32))
+    Hinv = inv3x3(H, 1e-6)
     win, corner = gather_patch_windows_atlas(
         atlas, x_off, uv_init.astype(f32), level, wp)
     wh = (sizes[level, 1].astype(f32), sizes[level, 0].astype(f32))
@@ -291,7 +292,7 @@ def align2d_atlas(
     return AlignOut(uv=uv, converged=conv & valid & ok, mean_diff=md)
 
 
-@partial(jax.jit, static_argnames=("patch_size", "n_iter"))
+@partial(jax.jit, static_argnames=("patch_size", "n_iter", "backend"))
 def align_mixed_atlas(
     atlas: jnp.ndarray,
     x_off: jnp.ndarray,
@@ -308,33 +309,56 @@ def align_mixed_atlas(
     patch_size: int = 8,
     n_iter: int = 10,
     conv_eps: float = 0.03,
+    backend: str = None,  # None=auto (Pallas on TPU), "pallas", "xla",
+    #                       "pallas_interpret" (CPU equivalence tests)
 ) -> AlignOut:
     """ONE GN loop refining 2-D rows (u,v,mean_diff) and 1-D rows
     (dist-along-direction, mean_diff) together: the expensive per-iteration
     window resample is shared; only the (tiny) update projection differs
     per row. Replaces running align2d_atlas + align1d_atlas back to back
-    on complementary masks."""
+    on complementary masks.
+
+    On TPU the whole GN loop runs as ONE Pallas kernel
+    (ops/pallas_align.mixed_align_loop_pallas) — the XLA while_loop's ~15
+    kernels/iteration collapse into a single launch with every
+    intermediate in VMEM. The XLA loop remains the CPU/test backend and is
+    mathematically identical (fixed-iteration predication vs early exit)."""
     from plsvo_tpu.image import (gather_patch_windows_atlas,
                                  sample_patch_windows)
 
     N, P = ref_patch.shape
     f32 = jnp.float32
-    margin = 4
-    wp = patch_size + 1 + 2 * margin
-    wp += wp % 2
+    wp = 2 * ((patch_size + 8) // 2)  # P+1+2*margin rounded even (margin 3.5)
     ones = jnp.ones_like(ref_dx)
     J3 = jnp.stack([ref_dx, ref_dy, ones], axis=-1)  # (N,P,3)
-    H3inv = jnp.linalg.inv(
-        jnp.einsum("npi,npj->nij", J3, J3) + 1e-6 * jnp.eye(3, dtype=f32))
+    H3inv = inv3x3(jnp.einsum("npi,npj->nij", J3, J3), 1e-6)
     d = direction / jnp.maximum(
         jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-8)
     dgrad = ref_dx * d[:, 0:1] + ref_dy * d[:, 1:2]
     J1 = jnp.stack([dgrad, ones], axis=-1)  # (N,P,2)
-    H1inv = jnp.linalg.inv(
-        jnp.einsum("npi,npj->nij", J1, J1) + 1e-6 * jnp.eye(2, dtype=f32))
+    H1inv = inv2x2(jnp.einsum("npi,npj->nij", J1, J1), 1e-6)
     win, corner = gather_patch_windows_atlas(
         atlas, x_off, uv_init.astype(f32), level, wp)
     wh = (sizes[level, 1].astype(f32), sizes[level, 0].astype(f32))
+
+    if backend is None:
+        # measured on v5e at production sizes (N=768): the XLA while_loop
+        # costs ~5-10 us/iteration with early exit — after the batched
+        # closed-form H^-1 (batlin) removed the real prefix cost, the
+        # fused-loop Pallas kernel (fixed n_iter) is ~0.2 ms SLOWER than
+        # the XLA loop, so XLA is the default on every backend; the Pallas
+        # kernel stays available (backend="pallas") with equivalence tests
+        backend = "xla"
+    if backend in ("pallas", "pallas_interpret"):
+        from plsvo_tpu.ops.pallas_align import mixed_align_loop_pallas
+
+        uv, conv, md = mixed_align_loop_pallas(
+            win, corner, ref_patch, ref_dx, ref_dy, dgrad, H3inv, H1inv,
+            d, is_1d, uv_init.astype(f32),
+            jnp.stack([wh[0], wh[1]], -1), valid,
+            patch_size=patch_size, wp=wp, n_iter=n_iter, conv_eps=conv_eps,
+            interpret=(backend == "pallas_interpret"))
+        return AlignOut(uv=uv, converged=conv, mean_diff=md)
 
     def cond(carry):
         it, uv, md, conv, active_any = carry

@@ -16,6 +16,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
+from plsvo_tpu.batlin import inv2x2
 from plsvo_tpu.image import bilinear_sample
 from plsvo_tpu.ops.feature_align import align2d, ref_patch_gradients
 
@@ -242,7 +243,7 @@ def find_match_direct(
     )(uv_ref, f_ref, depth_ref, level_ref, R_cur_ref, t_cur_ref)
     det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
     A_ok = jnp.abs(det) > 1e-6
-    A_inv = jnp.linalg.inv(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
+    A_inv = inv2x2(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
     slevel = best_search_level(A, max_level)
 
     patches_b, warp_ok = warp_patches_affine(
@@ -437,7 +438,7 @@ def find_match_direct_atlas(
     )(uv_ref, f_ref, depth_ref, level_ref, R_cur_ref, t_cur_ref)
     det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
     A_ok = jnp.abs(det) > 1e-6
-    A_inv = jnp.linalg.inv(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
+    A_inv = inv2x2(jnp.where(A_ok[:, None, None], A, jnp.eye(2)))
     slevel = best_search_level(A, max_level)
 
     patches_b, warp_ok = warp_patches_affine_atlas(

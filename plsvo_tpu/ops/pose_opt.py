@@ -196,7 +196,8 @@ def optimize_pose(
         def body(c):
             it, stop, R, t, R_old, t_old, chi2_prev, A_last = c
             A, b, chi2 = system(R, t, pt_valid, seg_valid)
-            dT = jnp.linalg.solve(A + 1e-10 * jnp.eye(6, dtype=f32), b)
+            from plsvo_tpu.batlin import solve_psd
+            dT = solve_psd(A, b, 1e-10)
             bad = jnp.any(jnp.isnan(dT))
             worse = (it > 0) & (chi2 > chi2_prev)
             stop_new = worse | bad | (jnp.max(jnp.abs(dT)) < 1e-10)

@@ -260,12 +260,13 @@ def sparse_img_align(
             b_sg = -jnp.einsum("mpi,mp,m->i", Jf_sg, r_sgf, w_line)
             chi2_sg = jnp.sum(w_line * mean_abs * mean_abs)
 
-            H = H_pt + H_sg + 1e-8 * jnp.eye(6, dtype=f32)
+            H = H_pt + H_sg
             b = b_pt + b_sg
             n_meas = jnp.sum(ok_pt) * P + jnp.sum(use_line) * K * P
             chi2 = (chi2_pt + chi2_sg) / jnp.maximum(n_meas.astype(f32), 1.0)
 
-            x = jnp.linalg.solve(H, b)
+            from plsvo_tpu.batlin import solve_psd
+            x = solve_psd(H, b, 1e-8)
             bad = jnp.any(jnp.isnan(x))
 
             # vikit GaussNewton rollback: chi2 at current model worse than at

@@ -75,8 +75,8 @@ def optimize_points(
         w = obs.valid.astype(f32)
         A = jnp.einsum("loik,loim,lo->lkm", J, J, w)
         b = -jnp.einsum("loik,loi,lo->lk", J, e, w)
-        A = A + 1e-10 * jnp.eye(3, dtype=f32)
-        dp = jnp.linalg.solve(A, b[..., None]).squeeze(-1)
+        from plsvo_tpu.batlin import solve3x3
+        dp = solve3x3(A, b, 1e-10)
         p_new = p + dp
         chi2_new = chi2_of(p_new)
         improved = (chi2_new < best_chi2) & valid & ~jnp.any(jnp.isnan(dp), -1)

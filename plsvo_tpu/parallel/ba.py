@@ -101,7 +101,8 @@ def _assemble_shard(prob: BAProblem, huber: float, lm_damp: float):
     # per-landmark blocks
     Hpp = jnp.einsum("loik,loim,lo->lkm", Jp, Jp, w)  # (L,3,3)
     Hpp = Hpp + lm_damp * jnp.eye(3)
-    Hpp_inv = jnp.linalg.inv(Hpp)
+    from plsvo_tpu.batlin import inv3x3
+    Hpp_inv = inv3x3(Hpp)
     b_p = -jnp.einsum("loik,loi,lo->lk", Jp, e, w)  # (L,3)
 
     # pose blocks per obs
