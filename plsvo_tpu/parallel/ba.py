@@ -308,11 +308,30 @@ def problem_from_window(map_state, cfg, core_slots, pad_bucket: int = 256):
 
     P_rows = window_rows(m.pt_status, m.pt_obs_kf)
     L_rows = window_rows(m.ln_status, m.ln_obs_kf)
-    O = cfg.caps.max_obs_per_landmark
+    # compact observation COLUMNS to the most-recent live slots: the host
+    # table is sized for the whole keyframe ring (max_obs_per_landmark >=
+    # max_kfs) but per-KF localBA cost scales with the column count, and a
+    # landmark rarely holds more than ~8 live observations — keep the 8
+    # newest (by write stamp); the dropped tail is the OLDEST constraints,
+    # the same ones the reference's ring overwrote
+    O = min(cfg.caps.max_obs_per_landmark, 8)
 
+    def compact(kf_rows, stamp_rows, f_list):
+        key = np.where(kf_rows >= 0, -stamp_rows, np.iinfo(np.int64).max)
+        order = np.argsort(key, axis=1)[:, :O]
+        kf_c = np.take_along_axis(kf_rows, order, 1)
+        return kf_c, [np.take_along_axis(f, order[..., None], 1)
+                      for f in f_list]
+
+    pt_kf_c, (pt_f_c,) = compact(m.pt_obs_kf[P_rows],
+                                 m.pt_obs_stamp[P_rows],
+                                 [m.pt_obs_f[P_rows]])
+    ln_kf_c, (ln_sf_c, ln_ef_c) = compact(
+        m.ln_obs_kf[L_rows], m.ln_obs_stamp[L_rows],
+        [m.ln_obs_sf[L_rows], m.ln_obs_ef[L_rows]])
     pos = [m.pt_pos[P_rows], m.ln_spos[L_rows], m.ln_epos[L_rows]]
-    obs_kf = [m.pt_obs_kf[P_rows], m.ln_obs_kf[L_rows], m.ln_obs_kf[L_rows]]
-    obs_f = [m.pt_obs_f[P_rows], m.ln_obs_sf[L_rows], m.ln_obs_ef[L_rows]]
+    obs_kf = [pt_kf_c, ln_kf_c, ln_kf_c]
+    obs_f = [pt_f_c, ln_sf_c, ln_ef_c]
     pos = np.concatenate(pos, 0).astype(np.float32)
     obs_kf = np.concatenate(obs_kf, 0).astype(np.int32)
     obs_f = np.concatenate(obs_f, 0).astype(np.float32)

@@ -108,15 +108,17 @@ class BatchedVO:
         self._seeds_idx = tuple(idx)
 
     def _batch_kwargs(self, default_idx):
-        """Static step kwargs unified across the batch."""
+        """Static step kwargs unified across the batch — and PINNED so the
+        whole run uses ONE program variant: every distinct static combo of
+        the vmapped mega-step costs a multi-minute remote compile (or a
+        multi-second cache load), and letting seed widths / stage flags
+        drift with the batch state produced 6+ such stalls per 72-frame
+        run (measured: 6-14 s each, destroying batched throughput)."""
         kwargs = self.vos[default_idx[0]]._step_kwargs()
-        # static flags must agree across the batch: force the seed stages
-        # ON when any member needs them (a no-alive table just no-ops)
-        kwargs["update_pt_seeds"] = any(
-            self.vos[i]._seed_alive.any() for i in default_idx)
-        kwargs["update_ln_seeds"] = bool(
-            self.cfg.pipeline.has_ls and any(
-                self.vos[i]._any_line_seeds for i in default_idx))
+        # static flags must agree across the batch AND stay constant: the
+        # seed stages are forced ON (a no-alive table no-ops)
+        kwargs["update_pt_seeds"] = True
+        kwargs["update_ln_seeds"] = bool(self.cfg.pipeline.has_ls)
         # static seed widths must agree across the batch: take the max
         caps = self.cfg.caps
         pw = [self.vos[i]._live_width(self.vos[i]._seed_alive,
@@ -125,8 +127,11 @@ class BatchedVO:
         lw = [self.vos[i]._live_width(self.vos[i]._lnseed_alive,
                                       caps.max_seed_segs, 64)
               for i in default_idx]
-        kwargs["pt_width"] = None if any(w is None for w in pw) else max(pw)
-        kwargs["ln_width"] = None if any(w is None for w in lw) else max(lw)
+        # widths pinned to full capacity (None): ~0.4 ms/seq more device
+        # time, zero extra program variants
+        del pw, lw
+        kwargs["pt_width"] = None
+        kwargs["ln_width"] = None
         return kwargs
 
     def _mesh_for(self, default_idx):
@@ -165,15 +170,19 @@ class BatchedVO:
         results = [None] * len(self.vos)
         default_idx = [
             i for i, vo in enumerate(self.vos) if vo.stage == STAGE_DEFAULT]
-        other_idx = [i for i in range(len(self.vos)) if i not in default_idx]
-
-        # non-DEFAULT sequences: staged per-sequence path (needs their own
-        # seed tables back first)
-        if other_idx and self._seeds_idx is not None and any(
-                i in self._seeds_idx for i in other_idx):
-            self._materialize_seeds()
-        for i in other_idx:
-            results[i] = self.vos[i].add_image(imgs[i], timestamp)
+        # the batch engages only at FULL membership: a partial batch would
+        # compile its own program variant per batch size (each a huge
+        # vmapped program); until every sequence reaches DEFAULT (or when
+        # any falls out), all members run their small per-seq staged
+        # programs, which are shared with single-sequence mode and already
+        # compiled
+        if len(default_idx) < len(self.vos):
+            if self._seeds_idx is not None:
+                self._materialize_seeds()
+            for i in range(len(self.vos)):
+                results[i] = self.vos[i].add_image(imgs[i], timestamp)
+            return results
+        other_idx = []
 
         if not default_idx:
             return results
@@ -245,6 +254,17 @@ class BatchedVO:
             self._drain_all_batched()
             default_idx = [i for i, vo in enumerate(self.vos)
                            if vo.stage == STAGE_DEFAULT]
+        # full-membership gate (see add_images): a partial batch would be
+        # its own huge program variant per size — run per-seq staged
+        # programs until every sequence is DEFAULT
+        if len(default_idx) < len(self.vos):
+            if self._bq or self._bfetch_q:
+                self._drain_all_batched()
+            if self._seeds_idx is not None:
+                self._materialize_seeds()
+            for i in range(len(self.vos)):
+                results[i] = self.vos[i].add_image(imgs[i], timestamp)
+            return results
         other_idx = [i for i in range(len(self.vos)) if i not in default_idx]
         if other_idx:
             if self._bq or self._bfetch_q:

@@ -436,8 +436,10 @@ class FrameHandlerMono:
             pt_anchor_level=m.dev("pt_anchor_level"),
             pt_anchor_type=m.dev("pt_anchor_type"),
             pt_anchor_dir=m.dev("pt_anchor_dir"),
-            pt_obs_kf=m.dev("pt_obs_kf"), pt_obs_uv=m.dev("pt_obs_uv"),
-            pt_obs_f=m.dev("pt_obs_f"), pt_obs_level=m.dev("pt_obs_level"),
+            pt_obs_kf=m.dev_obs("pt_obs_kf"),
+            pt_obs_uv=m.dev_obs("pt_obs_uv"),
+            pt_obs_f=m.dev_obs("pt_obs_f"),
+            pt_obs_level=m.dev_obs("pt_obs_level"),
             ln_spos=m.dev("ln_spos"), ln_epos=m.dev("ln_epos"),
             ln_status=m.dev("ln_status"), ln_anchor_kf=m.dev("ln_anchor_kf"),
             ln_anchor_suv=m.dev("ln_anchor_suv"),
@@ -445,8 +447,9 @@ class FrameHandlerMono:
             ln_anchor_sf=m.dev("ln_anchor_sf"),
             ln_anchor_ef=m.dev("ln_anchor_ef"),
             ln_anchor_level=m.dev("ln_anchor_level"),
-            ln_obs_kf=m.dev("ln_obs_kf"), ln_obs_sf=m.dev("ln_obs_sf"),
-            ln_obs_ef=m.dev("ln_obs_ef"),
+            ln_obs_kf=m.dev_obs("ln_obs_kf"),
+            ln_obs_sf=m.dev_obs("ln_obs_sf"),
+            ln_obs_ef=m.dev_obs("ln_obs_ef"),
             kf_R=m.dev("kf_R"), kf_t=m.dev("kf_t"))
 
     def _fused_kwargs(self):

@@ -177,12 +177,56 @@ class MapState:
         # device-side cache of host tables; invalidated explicitly by the
         # mutators so per-frame stages skip re-uploading unchanged tables
         self._dev: dict = {}
+        # observation tables sync by ROW DELTAS instead of invalidation:
+        # full (P, O, .) obs uploads are ~2.3 MB per keyframe per sequence
+        # and dominated the keyframe-frame host time (measured multi-second
+        # stalls at batched drain windows); per-KF only a few hundred rows
+        # change, so mutators record dirty rows and dev_obs() scatters just
+        # those into the persistent device copies
+        self._dev_obs: dict = {}
+        self._obs_dirty = {"pt": set(), "ln": set()}
+
+    _OBS_GROUPS = {
+        "pt": ("pt_obs_kf", "pt_obs_uv", "pt_obs_f", "pt_obs_level"),
+        "ln": ("ln_obs_kf", "ln_obs_sf", "ln_obs_ef"),
+    }
 
     def dev(self, name: str):
         """Device copy of a host table, cached until invalidated."""
         if name not in self._dev:
             self._dev[name] = jnp.asarray(getattr(self, name))
         return self._dev[name]
+
+    def _sync_obs(self, group: str):
+        names = self._OBS_GROUPS[group]
+        if names[0] not in self._dev_obs:
+            for n in names:
+                self._dev_obs[n] = jnp.asarray(getattr(self, n))
+            self._obs_dirty[group].clear()
+            return
+        dirty = self._obs_dirty[group]
+        if dirty:
+            rows = np.fromiter(dirty, np.int32, len(dirty))
+            r = jnp.asarray(rows)
+            for n in names:
+                self._dev_obs[n] = self._dev_obs[n].at[r].set(
+                    jnp.asarray(getattr(self, n)[rows]))
+            dirty.clear()
+
+    def dev_obs(self, name: str):
+        """Device copy of an observation table, synced by row deltas."""
+        group = "pt" if name.startswith("pt") else "ln"
+        self._sync_obs(group)
+        return self._dev_obs[name]
+
+    def _obs_clear_kf_on_device(self, slot: int):
+        """Mirror remove_keyframe's `obs_kf == slot -> -1` onto the device
+        copies WITHOUT any upload (values for dead slots are stale but the
+        device only reads slots with kf >= 0)."""
+        for group, kf_name in (("pt", "pt_obs_kf"), ("ln", "ln_obs_kf")):
+            if kf_name in self._dev_obs:
+                a = self._dev_obs[kf_name]
+                self._dev_obs[kf_name] = jnp.where(a == slot, -1, a)
 
     def kf_atlas_flat(self, n_levels: int):
         """Flat-packed keyframe pyramid super-atlas (image.FlatAtlas),
@@ -349,6 +393,7 @@ class MapState:
         self.kf_seg_lm[slot] = -1
         self.kf_key_lms[slot] = -1
         self.invalidate()
+        self._obs_clear_kf_on_device(slot)
 
         # --- points ---
         observed_here = (self.pt_obs_kf == slot).any(axis=1)
@@ -431,6 +476,7 @@ class MapState:
         self.pt_obs_level[lm, p] = level
         self.pt_obs_stamp[lm, p] = self.pt_obs_ptr[lm]
         self.pt_obs_ptr[lm] += 1
+        self._obs_dirty["pt"].add(int(lm))
 
     def _add_ln_obs(self, lm: int, kf_slot: int, sf: np.ndarray, ef: np.ndarray):
         p = self._obs_slot(self.ln_obs_kf[lm], self.ln_obs_stamp[lm])
@@ -439,6 +485,7 @@ class MapState:
         self.ln_obs_ef[lm, p] = ef
         self.ln_obs_stamp[lm, p] = self.ln_obs_ptr[lm]
         self.ln_obs_ptr[lm] += 1
+        self._obs_dirty["ln"].add(int(lm))
 
     def alloc_points(self, n: int) -> np.ndarray:
         """Return up to n free point rows (status DELETED)."""
@@ -469,6 +516,7 @@ class MapState:
         self.pt_obs_kf[r] = -1
         self.pt_obs_stamp[r] = -1
         self.pt_obs_ptr[r] = 0
+        self._obs_dirty["pt"].add(int(r))
         self._add_pt_obs(r, kf_slot, f, uv, level)
         self.invalidate("pt_pos", "pt_status", "pt_anchor_kf", "pt_anchor_uv",
                         "pt_anchor_f", "pt_anchor_level", "pt_anchor_type",
@@ -497,6 +545,7 @@ class MapState:
         self.ln_obs_kf[r] = -1
         self.ln_obs_stamp[r] = -1
         self.ln_obs_ptr[r] = 0
+        self._obs_dirty["ln"].add(int(r))
         self._add_ln_obs(r, kf_slot, sf, ef)
         self.invalidate("ln_spos", "ln_epos", "ln_status", "ln_anchor_kf",
                         "ln_anchor_suv", "ln_anchor_euv", "ln_anchor_sf",

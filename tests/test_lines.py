@@ -157,15 +157,14 @@ def test_detector_vs_lsd_real_photo():
         img = np.asarray(Image.open(f).convert("L"), np.float32)
     H, W = img.shape
     min_len = 0.15 * (W * H) / (W + H)
-    # a dense contrasty photo needs a bigger edge budget than the default
-    # tuned for 752x480 video frames (the budget is the config surface a
-    # user would raise for such imagery)
-    ours, lsd = _ours_vs_lsd(img, min_len, run_gap_px=6.0,
-                             max_edge_px=8192, max_edge_px_tile=2048)
+    # DEFAULT (adaptive) budgets — no photo-special-cased knobs
+    ours, lsd = _ours_vs_lsd(img, min_len, run_gap_px=6.0)
     assert len(lsd) >= 5
     rec, ep = _seg_metrics(ours, lsd)
-    # measured: recall 0.50 on this densely-textured portrait (the top-k
-    # edge budget keeps the strongest ~15% of edges; soft bookshelf lines
-    # below the cut are missed — a known gap vs LSD's full region growing)
-    assert rec >= 0.4, (rec, ep, len(ours), len(lsd))
+    # measured: recall 0.78 with the adaptive budgets (0.50 with the old
+    # fixed 752x480-tuned budgets); mean endpoint error is tail-dominated
+    # by infinite-line overextension in collinear clutter (same caveat as
+    # the synthetic test)
+    assert rec >= 0.7, (rec, ep, len(ours), len(lsd))
+    assert ep <= 15.0, (rec, ep)
     assert len(ours) >= len(lsd)
