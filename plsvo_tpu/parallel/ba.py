@@ -90,11 +90,54 @@ def _residuals_jacobians(prob: BAProblem, huber: float):
     return e, Jc, Jp, w, chi2, jnp.sum(valid)
 
 
-def _assemble_shard(prob: BAProblem, huber: float, lm_damp: float):
-    """Assemble this shard's contribution to the reduced camera system.
+def _assemble_shard(prob: BAProblem, huber: float, lm_damp: float,
+                    chunk: int = 16384):
+    """Assemble this shard's contribution to the reduced camera system,
+    scanning over landmark slabs of `chunk` rows when the shard is larger:
+    the Schur pair tensor (L,O,O,6,6) materializes ~10 KB PER LANDMARK and
+    blows past compile/HBM limits at ~100k rows (observed: the 128-KF/100k
+    problem failed to compile unchunked); per-slab it is bounded at
+    ~160 MB while S/b accumulate across slabs.
 
     Returns (S_partial (6K,6K), b_partial (6K,), Hpp_inv (L,3,3),
     b_p (L,3), W (L,O,6,3), chi2, n_obs)."""
+    L = prob.lm_pos.shape[0]
+    if L <= chunk:
+        return _assemble_shard_direct(prob, huber, lm_damp)
+    pad = (-L) % chunk
+    n = (L + pad) // chunk
+
+    def pad_rows(a, fill=0):
+        if pad == 0:
+            return a
+        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=fill)
+
+    slabs = dict(
+        lm_pos=pad_rows(prob.lm_pos),
+        lm_valid=pad_rows(prob.lm_valid, False),
+        obs_kf=pad_rows(prob.obs_kf, -1),
+        obs_f=pad_rows(prob.obs_f),
+        obs_valid=pad_rows(prob.obs_valid, False))
+    slabs = {k: v.reshape((n, chunk) + v.shape[1:]) for k, v in slabs.items()}
+
+    def body(carry, sl):
+        S_acc, b_acc, chi2_acc, n_acc = carry
+        p_sl = prob._replace(**{k: sl[k] for k in slabs})
+        S, b, Hpp_inv, b_p, W, chi2, n_obs = _assemble_shard_direct(
+            p_sl, huber, lm_damp)
+        return ((S_acc + S, b_acc + b, chi2_acc + chi2, n_acc + n_obs),
+                (Hpp_inv, b_p, W))
+
+    K = prob.kf_R.shape[0]
+    init = (jnp.zeros((6 * K, 6 * K)), jnp.zeros(6 * K),
+            jnp.zeros(()), jnp.zeros((), jnp.int32))
+    (S, b, chi2, n_obs), (Hpp_inv, b_p, W) = jax.lax.scan(body, init, slabs)
+    flat = lambda a: a.reshape((n * chunk,) + a.shape[2:])[:L]
+    return S, b, flat(Hpp_inv), flat(b_p), flat(W), chi2, n_obs
+
+
+def _assemble_shard_direct(prob: BAProblem, huber: float, lm_damp: float):
     K = prob.kf_R.shape[0]
     e, Jc, Jp, w, chi2, n_obs = _residuals_jacobians(prob, huber)
 
@@ -134,6 +177,25 @@ def _assemble_shard(prob: BAProblem, huber: float, lm_damp: float):
     return S_flat, b_c.reshape(6 * K), Hpp_inv, b_p, W, chi2, n_obs
 
 
+def _precond_solve(S, b, damping):
+    """Damped, Jacobi-preconditioned solve of the reduced camera system.
+
+    Levenberg-style MULTIPLICATIVE damping (damping * diag(S), scale
+    invariant) plus symmetric Jacobi preconditioning D S D with
+    D = diag(S)^-1/2: at map scale (hundreds of pose DoF, 1e5+ f32-summed
+    observations) the raw normal equations are ill-conditioned enough
+    that a plain f32 solve takes wild steps — measured 0.5 m pose jumps
+    on a 96-KF/50k-landmark problem that the preconditioned solve
+    handles (tests/test_ba_scale.py)."""
+    d = jnp.diagonal(S)
+    S = S + damping * jnp.diag(jnp.maximum(d, 1e-12))
+    d2 = jnp.diagonal(S)
+    Dinv = jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
+    Sp = S * Dinv[:, None] * Dinv[None, :]
+    y = jnp.linalg.solve(Sp, b * Dinv)
+    return y * Dinv
+
+
 def _apply_updates(prob: BAProblem, dc: jnp.ndarray, Hpp_inv, b_p, W):
     """Back-substitute landmark updates and apply pose updates."""
     K = prob.kf_R.shape[0]
@@ -168,8 +230,7 @@ def bundle_adjust(
     def body(carry, _):
         p, chi2_prev = carry
         S, b, Hpp_inv, b_p, W, chi2, n_obs = _assemble_shard(p, huber, lm_damp)
-        S = S + damping * jnp.eye(6 * K)
-        dc = jnp.linalg.solve(S, b)
+        dc = _precond_solve(S, b, damping)
         p_new = _apply_updates(p, dc, Hpp_inv, b_p, W)
         # keep the update only if chi2 did not blow up
         _, _, _, _, _, chi2_new, _ = _assemble_shard(p_new, huber, lm_damp)
@@ -221,8 +282,7 @@ def bundle_adjust_sharded(
             S = jax.lax.psum(S, axis)
             b = jax.lax.psum(b, axis)
             chi2 = jax.lax.psum(chi2, axis)
-            S = S + damping * jnp.eye(6 * K)
-            dc = jnp.linalg.solve(S, b)
+            dc = _precond_solve(S, b, damping)
             p_new = _apply_updates(p, dc, Hpp_inv, b_p, W)
             _, _, _, _, _, c2n, _ = _assemble_shard(p_new, huber, lm_damp)
             c2n = jax.lax.psum(c2n, axis)

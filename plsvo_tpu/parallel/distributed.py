@@ -222,8 +222,7 @@ def bundle_adjust_multihost(
             S = psum2(S)
             b = psum2(b)
             chi2 = psum2(chi2)
-            S = S + damping * jnp.eye(6 * K)
-            dc = jnp.linalg.solve(S, b)
+            dc = ba_mod._precond_solve(S, b, damping)
             p_new = ba_mod._apply_updates(p, dc, Hpp_inv, b_p, W)
             _, _, _, _, _, c2n, _ = ba_mod._assemble_shard(
                 p_new, huber, lm_damp)

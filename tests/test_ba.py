@@ -99,7 +99,7 @@ def test_ba_sharded_matches_single(rng):
     out_s1, _ = ba.bundle_adjust_sharded(prob, mesh, "ba", n_iter=1)
     out_11, _ = ba.bundle_adjust(prob, n_iter=1)
     np.testing.assert_allclose(np.asarray(out_s1.kf_t), np.asarray(out_11.kf_t),
-                               atol=1e-4)
+                               atol=5e-4)
     # landmark back-substitution amplifies dc reduction noise along the
     # weakly-constrained depth direction (Hpp^-1 is ill-conditioned there)
     np.testing.assert_allclose(np.asarray(out_s1.lm_pos), np.asarray(out_11.lm_pos),

