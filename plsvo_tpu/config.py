@@ -41,13 +41,6 @@ class PipelineConfig:
     # regardless of payload, so fetching every K frames amortizes it K-fold
     # (results then arrive in bursts of K, map updates lag up to K frames).
     pipeline_depth: int = 1
-    # burst execution (requires pipelined): K consecutive DEFAULT frames
-    # run as ONE device program (lax.scan chaining the full frame step,
-    # fused.track_frames_burst) — one image upload, one dispatch and one
-    # fetch per K frames instead of per frame. Results arrive up to 2K
-    # frames late; map updates lag up to 2K frames (two bursts in flight).
-    # 0 = off (per-frame pipelined dispatch).
-    burst_k: int = 0
 
     # pyramid
     n_pyr_levels: int = 3
@@ -139,7 +132,7 @@ class PipelineConfig:
     # ships it dead (never built); here it is real and ON by default:
     # core = FoV-overlapping keyframes of the new KF (free), all other
     # keyframes fixed, landmarks restricted to the window's observations.
-    # In pipelined/burst execution the result write-back is deferred into
+    # In pipelined execution the result write-back is deferred into
     # the next drain window (the reference's asynchronous mapping thread
     # has the same lag).
     loba_enabled: bool = True

@@ -123,18 +123,10 @@ class FrameHandlerMono:
         self._pending_seed_init: List = []
         # deferred windowed-localBA results [(future, meta, ba_meta)]
         self._pending_ba: List = []
-        # burst-mode state: raw-image buffer, in-flight bursts
-        # [(kind, frames, payload, ys_pyr)], in-flight fetch windows, and
-        # the device-resident chain (NextFrameInputs + newest pyramid)
-        self._burst_buf: List = []
-        self._bursts: List = []
-        self._bfetch_q: List = []
-        self._chain_nxt = None
-        self._chain_pyr = None
         # BatchedVO control: _force_sync routes stray per-seq frames through
         # the synchronous path; _defer_seed_init makes keyframe seed
         # detection fetch-deferred even then (the batch runner folds the
-        # fetch into its own burst)
+        # fetch into its own drain window)
         self._force_sync = False
         self._defer_seed_init = False
         # trace plane (reference permon channels, frame_handler_base.cpp:58-86)
@@ -158,26 +150,9 @@ class FrameHandlerMono:
         return (l / np.maximum(n, 1e-12)).astype(np.float32)
 
     # ------------------------------------------------------------------
-    def _burst_mode(self) -> bool:
-        pl = self.cfg.pipeline
-        return pl.pipelined and pl.burst_k > 0 and not self._force_sync
-
     def add_image(self, img, timestamp: float) -> FrameResult:
         self.permon.new_frame(self.frame_id)
         t_tot = time.perf_counter()
-        if (self.stage == STAGE_DEFAULT and self._burst_mode()
-                and self._chain_nxt is not None):
-            # burst mode with an active chain: the raw image is buffered on
-            # host and uploaded as part of ONE (K,H,W) blob — no per-frame
-            # pyramid dispatch (the burst program builds pyramids on device)
-            res = self._process_frame_burst(img, timestamp)
-            self.frame_id += 1
-            self.permon.timers["tot_time"] = time.perf_counter() - t_tot
-            if res is not None:
-                self.results.append(res)
-                self.permon.log("img_align_n_tracked", res.n_pt_matches)
-                self.permon.log("n_seg_tracked", res.n_seg_matches)
-            return res
         with self.permon.timer("pyramid_creation"):
             if isinstance(img, jnp.ndarray):
                 img_dev = img.astype(jnp.float32)  # already device-resident
@@ -518,11 +493,6 @@ class FrameHandlerMono:
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy)
 
     def _process_frame(self, pyr, ts) -> FrameResult:
-        if self._burst_mode():
-            # chain start (first DEFAULT frame, or restart after
-            # relocalization/flush): one single-frame step that emits the
-            # device-resident NextFrameInputs the bursts chain from
-            return self._burst_start(pyr, ts, self.frame_id)
         if self.cfg.pipeline.pipelined and not self._force_sync:
             return self._process_frame_pipelined(pyr, ts)
         last = self.last_frame
@@ -655,182 +625,21 @@ class FrameHandlerMono:
             force = False  # only the first forced completion must block
 
     def flush(self):
-        """Drain all in-flight pipelined/burst frames (call at sequence
+        """Drain all in-flight pipelined frames (call at sequence
         end). Returns the remaining FrameResults in order."""
         if self.cfg.pipeline.pipelined and (self._pipe_q or self._fetch_q):
             self._initiate_drain(keep=0)
             while self._fetch_q:
                 self._complete_drains(force=True)
-        if self._burst_mode():
-            leftover = self._burst_buf
-            self._burst_buf = []
-            if self._bursts or self._bfetch_q:
-                self._initiate_burst_drain(keep=0)
-                while self._bfetch_q:
-                    self._complete_burst_drains(force=True)
-            # sequence tail shorter than burst_k: single-frame chained
-            # steps (a partial burst would need its own compile variant)
-            for (a, ts_k, fid_k) in leftover:
-                if self.stage != STAGE_DEFAULT:
-                    break
-                pyr = build_pyramid(jnp.asarray(a).astype(jnp.float32),
-                                    self.n_levels)
-                self._burst_start(pyr, ts_k, fid_k)
-                self._initiate_burst_drain(keep=0)
-                while self._bfetch_q:
-                    self._complete_burst_drains(force=True)
         self._complete_pending_ba()
         out = self._ready
         self._ready = []
         return out
 
-    # -- burst mode ------------------------------------------------------
-    def _burst_start(self, pyr, ts, fid) -> Optional[FrameResult]:
-        """Single-frame chained step that (re)starts the burst chain from
-        the last finalized frame's host tables."""
-        frame = FrameState.empty(self.cfg, fid, ts, pyr,
-                                 self.last_frame.R_f_w.copy(),
-                                 self.last_frame.t_f_w.copy())
-        pl = self.cfg.pipeline
-        last_pyr = (self.last_frame.pyr if self.last_frame.pyr is not None
-                    else self._chain_pyr)
-        with self.permon.timer("sparse_img_align"):
-            step = fused.track_frame_step(
-                last_pyr, pyr, self.map.kf_atlas_flat(pl.n_pyr_levels),
-                self._last_blob(self.last_frame), self._map_tables(),
-                self.pt_seeds, self.ln_seeds,
-                jnp.asarray(self.batch_counter, jnp.int32),
-                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                emit_next=True, frame_id=jnp.asarray(fid, jnp.int32),
-                **self._step_kwargs())
-        self.pt_seeds = step.pt_seeds
-        self.ln_seeds = step.ln_seeds
-        self._chain_nxt = step.next
-        self._chain_pyr = tuple(pyr)
-        self._bursts.append(
-            ("single", [frame], (step.fused, step.pt_conv, step.ln_conv),
-             None))
-        self.last_frame = frame
-        if len(self._bursts) > 1:
-            self._initiate_burst_drain(keep=1)
-        self._complete_burst_drains(force=len(self._bfetch_q) > 1)
-        return self._ready.pop(0) if self._ready else None
-
-    def _process_frame_burst(self, img, ts) -> Optional[FrameResult]:
-        """Buffer the raw frame; every burst_k frames dispatch ONE device
-        program for the whole burst (fused.track_frames_burst). Two bursts
-        stay in flight: fetch + host bookkeeping of burst b overlap burst
-        b+1's device compute."""
-        if isinstance(img, jnp.ndarray):
-            a = img  # device-resident: stacked on device at dispatch
-        else:
-            a = np.asarray(img)
-            if a.dtype != np.uint8 and a.dtype != np.float32:
-                a = a.astype(np.float32)
-        self._burst_buf.append((a, ts, self.frame_id))
-        if len(self._burst_buf) >= self.cfg.pipeline.burst_k:
-            self._dispatch_burst()
-            if len(self._bursts) > 1:
-                self._initiate_burst_drain(keep=1)
-        self._complete_burst_drains(force=len(self._bfetch_q) > 1)
-        return self._ready.pop(0) if self._ready else None
-
-    def _dispatch_burst(self):
-        pl = self.cfg.pipeline
-        buf = self._burst_buf
-        self._burst_buf = []
-        kwargs = {k: v for k, v in self._step_kwargs().items()
-                  if k != "specs"}
-        with self.permon.timer("sparse_img_align"):
-            parts = [b[0] for b in buf]
-            if any(isinstance(p, jnp.ndarray) for p in parts):
-                imgs = jnp.stack([jnp.asarray(p) for p in parts])
-            else:
-                imgs = jnp.asarray(np.stack(parts))  # ONE host->device blob
-            carry, ys = fused.track_frames_burst(
-                self._chain_pyr, imgs,
-                self.map.kf_atlas_flat(pl.n_pyr_levels),
-                self._chain_nxt, self._map_tables(),
-                self.pt_seeds, self.ln_seeds,
-                jnp.asarray(self.batch_counter, jnp.int32),
-                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                frame_id0=buf[0][2], n_pyr_total=self.n_levels, **kwargs)
-        self._chain_nxt, self.pt_seeds, self.ln_seeds = carry[:3]
-        self._chain_pyr = carry[3]
-        frames = []
-        for (_, ts_k, fid_k) in buf:
-            frames.append(FrameState.empty(
-                self.cfg, fid_k, ts_k, None,
-                self.last_frame.R_f_w.copy(), self.last_frame.t_f_w.copy()))
-        self.last_frame = frames[-1]
-        self._bursts.append(("burst", frames, ys[:3], ys[3]))
-
-    def _initiate_burst_drain(self, keep: int):
-        """Stage 1 (burst mode): ONE flat concat over the oldest in-flight
-        bursts + background fetch (see _initiate_drain)."""
-        n = len(self._bursts) - keep
-        if n <= 0:
-            return
-        take = [self._bursts.pop(0) for _ in range(n)]
-        pending_init = self._pending_seed_init
-        self._pending_seed_init = []
-        with self.permon.timer("sparse_img_align"):
-            flat, meta = fused.flatpack((
-                [payload for (_, _, payload, _) in take],
-                [h for (_, _, _, h) in pending_init]))
-            fut = fused.submit_fetch(flat)
-        self._bfetch_q.append(
-            ([(kind, frames, ys_pyr) for (kind, frames, _, ys_pyr) in take],
-             pending_init, fut, meta))
-
-    def _complete_burst_drains(self, force: bool):
-        """Stage 2 (burst mode): bookkeep arrived windows (deterministic —
-        see _complete_drains)."""
-        while self._bfetch_q and force:
-            entries, pending_init, fut, meta = self._bfetch_q.pop(0)
-            newest = self.last_frame
-            with self.permon.timer("reproject"):
-                got, init_got = fused.flatunpack(fut.result(), meta)
-            self._complete_pending_ba()
-            for (kf_slot, dm, dmin, _), fetched in zip(pending_init,
-                                                       init_got):
-                self._complete_seed_init(kf_slot, dm, dmin, *fetched)
-            stop = False
-            for (kind, frames, ys_pyr), (g_f, g_p, g_l) in zip(entries, got):
-                if stop:
-                    break
-                for k, frame in enumerate(frames):
-                    if self.stage == STAGE_RELOCALIZING:
-                        stop = True
-                        break
-                    if kind == "single":
-                        res_k, pt_k, ln_k = g_f, g_p, g_l
-                    else:
-                        res_k = jax.tree.map(lambda x: x[k], g_f)
-                        pt_k = (None if g_p is None
-                                else jax.tree.map(lambda x: x[k], g_p))
-                        ln_k = (None if g_l is None
-                                else jax.tree.map(lambda x: x[k], g_l))
-                        # the frame's pyramid stays device-resident in the
-                        # burst outputs; sliced lazily iff it becomes a
-                        # keyframe (the only consumer)
-                        frame.pyr_thunk = (
-                            lambda yp=ys_pyr, kk=k: [l[kk] for l in yp])
-                    g = tuple(x for x in (pt_k, ln_k) if x is not None)
-                    self._apply_harvest(g, pt_k is not None,
-                                        ln_k is not None)
-                    self._ready.append(self._post_fused(frame, res_k))
-            if self.stage == STAGE_RELOCALIZING:
-                # successors of a failed frame are poisoned: drop everything
-                # and restart the chain after relocalization
-                self._bursts.clear()
-                self._bfetch_q.clear()
-                self._burst_buf.clear()
-                self._chain_nxt = None
-                self._chain_pyr = None
-                return
-            self.last_frame = newest
-            force = False
+    # (burst execution mode removed in r3: its own A/B measured it
+    # LOSING to per-frame pipelined dispatch — commit d4b90a5: 33 vs 40
+    # fps device-resident, 22 vs 52 uint8 — while doubling the drain-path
+    # surface; VERDICT r2 weak #7)
 
     def _post_fused(self, frame: FrameState, res) -> FrameResult:
         """Host bookkeeping after the fused core (counters, deletion rules,
@@ -1017,8 +826,6 @@ class FrameHandlerMono:
         landmarks observed here, install KF, spawn new seeds, evict if over
         the KF limit."""
         m = self.map
-        if frame.pyr is None and frame.pyr_thunk is not None:
-            frame.pyr = frame.pyr_thunk()  # burst mode: slice from device
         # candidates observed in this frame become UNKNOWN
         # (MapPointCandidates promotion, map.cpp:292-309)
         lm = frame.pt_lm[frame.pt_valid & (frame.pt_lm >= 0)]
@@ -1064,7 +871,7 @@ class FrameHandlerMono:
         here). Core = FoV-overlapping keyframes of the new KF; everything
         else fixed. The device solve is dispatched here; the (~80 ms
         round-trip) result fetch is deferred into the next drain window in
-        pipelined/burst execution and completed inline in sync mode."""
+        pipelined execution and completed inline in sync mode."""
         from plsvo_tpu.parallel import ba as ba_mod
 
         m = self.map
@@ -1122,7 +929,7 @@ class FrameHandlerMono:
         """Device handles for new-seed detection in a keyframe: FAST grid +
         line segments + cell occupancy of the frame's existing features.
         Dispatch-only; the fetch can be deferred (pipelined mode folds it
-        into the next burst — the reference's mapping thread initializes
+        into the next drain fetch — the reference's mapping thread initializes
         seeds asynchronously too, depth_filter.cpp:256-258)."""
         pl = self.cfg.pipeline
         caps = self.cfg.caps
@@ -1406,7 +1213,7 @@ class FrameHandlerMono:
             res = self._process_frame(pyr, ts)
             if res is None:
                 # pipelined mode: the resumed frame's result surfaces with a
-                # later burst fetch (as a DEFAULT-stage result)
+                # later drain fetch (as a DEFAULT-stage result)
                 return None
             return FrameResult(res.frame_id, STAGE_RELOCALIZING, res.quality,
                                res.n_pt_matches, res.n_seg_matches,
@@ -1470,8 +1277,3 @@ class FrameHandlerMono:
         self._ready = []
         self._pending_seed_init = []
         self._pending_ba = []
-        self._burst_buf = []
-        self._bursts = []
-        self._bfetch_q = []
-        self._chain_nxt = None
-        self._chain_pyr = None

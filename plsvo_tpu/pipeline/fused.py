@@ -664,66 +664,6 @@ def _track_frame_step_impl(
 
 
 @partial(jax.jit, static_argnames=(
-    "n_pyr_total",
-    "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "seed_search_budget", "n_epi_steps", "sigma_conv_factor", "n_pyr_seed",
-    "pt_width", "ln_width",
-    "levels", "n_iter_align", "patch_align", "cell_size",
-    "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
-    "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",
-    "n_struct_segs", "struct_iters"))
-def track_frames_burst(
-    last_pyr,  # previous frame's pyramid (tuple of (h,w), all levels)
-    imgs,  # (K, H, W) uint8/f32 — the next K raw frames, ONE upload
-    kf_flat,  # image.FlatAtlas (MapState cache)
-    nxt: "NextFrameInputs",  # device-resident chain state
-    mt: MapTables,
-    pt_seeds, ln_seeds,
-    batch_counter,
-    fx, fy, cx, cy,
-    *,
-    frame_id0,  # () int32 — id of imgs[0]
-    n_pyr_total: int,  # pyramid levels to build (handler.n_levels)
-    **kw,
-) -> Tuple:
-    """Burst execution: ONE device program tracks K consecutive frames.
-
-    lax.scan over the frames — pyramid construction + the full
-    track_frame_step chained through the carry (NextFrameInputs + seed
-    tables + previous pyramid). The host pays one upload, one dispatch and
-    one fetch per K frames instead of per frame; map tables are read once
-    at dispatch, so landmark/keyframe updates land with up to K extra
-    frames of delay — the same asynchrony the pipelined mode (and the
-    reference's mapping thread, depth_filter.cpp:98-149) already has.
-
-    Returns (carry, ys): carry = (nxt, pt_seeds, ln_seeds, last_pyr,
-    next_frame_id) for chaining the following burst without any fetch;
-    ys = per-frame stacked (FusedResult, pt_conv, ln_conv, pyramids)."""
-    from plsvo_tpu.image import half_sample
-
-    def build_pyr(img):
-        pyr = [img.astype(jnp.float32)]
-        for _ in range(1, n_pyr_total):
-            pyr.append(half_sample(pyr[-1]))
-        return tuple(pyr)
-
-    def body(carry, img):
-        nxt_c, pt_s, ln_s, prev_pyr, fid = carry
-        pyr = build_pyr(img)
-        step = _track_frame_step_impl(
-            prev_pyr, pyr, kf_flat, nxt_c.last, nxt_c.R_last, nxt_c.t_last,
-            nxt_c.pt_last_optim, nxt_c.ln_last_optim, mt, pt_s, ln_s,
-            batch_counter, fx, fy, cx, cy, emit_next=True, frame_id=fid,
-            **kw)
-        ys = (step.fused, step.pt_conv, step.ln_conv, pyr)
-        return (step.next, step.pt_seeds, step.ln_seeds, pyr, fid + 1), ys
-
-    carry0 = (nxt, pt_seeds, ln_seeds, tuple(last_pyr),
-              jnp.asarray(frame_id0, jnp.int32))
-    return jax.lax.scan(body, carry0, imgs)
-
-
-@partial(jax.jit, static_argnames=(
     "mesh", "mesh_axis",
     "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
     "seed_search_budget", "n_epi_steps",

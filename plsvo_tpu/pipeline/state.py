@@ -52,10 +52,6 @@ class FrameState:
     seg_valid: np.ndarray
     cov: np.ndarray = field(default_factory=lambda: np.eye(6, dtype=np.float32))
     is_keyframe: bool = False
-    # burst execution: pyr stays None (device-resident in the burst's
-    # stacked outputs); the thunk slices it out iff the frame becomes a
-    # keyframe — the only consumer of a non-newest frame's pyramid
-    pyr_thunk: Optional[object] = None
 
     @classmethod
     def empty(cls, cfg: Config, frame_id: int, timestamp: float,
