@@ -210,7 +210,8 @@ class BatchedVO:
 
         # ONE flat transfer: every sequence's results + seed convergence
         flat, meta = fused.flatpack(
-            (step_b.fused, step_b.pt_conv, step_b.ln_conv))
+            (fused.fetch_view(step_b.fused), step_b.pt_conv,
+             step_b.ln_conv))
         res_f, pt_conv_b, ln_conv_b = fused.flatunpack(
             jax.device_get(flat), meta)
 
@@ -355,7 +356,8 @@ class BatchedVO:
                 pend.append((i, ent))
             vo._pending_seed_init = []
         flat, meta = fused.flatpack((
-            [(s.fused, s.pt_conv, s.ln_conv) for _, _, s in take],
+            [(fused.fetch_view(s.fused), s.pt_conv, s.ln_conv)
+             for _, _, s in take],
             [h for (_, (_, _, _, h)) in pend]))
         fut = fused.submit_fetch(flat)
         self._bfetch_q.append(

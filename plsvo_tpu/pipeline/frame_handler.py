@@ -508,8 +508,8 @@ class FrameHandlerMono:
         self.pt_seeds = step.pt_seeds
         self.ln_seeds = step.ln_seeds
         with self.permon.timer("reproject"):
-            flat, meta = fused.flatpack((step.fused, step.pt_conv,
-                                         step.ln_conv))
+            flat, meta = fused.flatpack((fused.fetch_view(step.fused),
+                                         step.pt_conv, step.ln_conv))
             res, pt_conv, ln_conv = fused.flatunpack(
                 jax.device_get(flat), meta)
         # converged seeds -> candidate landmarks, visible from the NEXT
@@ -582,7 +582,8 @@ class FrameHandlerMono:
         self._pending_seed_init = []
         with self.permon.timer("sparse_img_align"):
             flat, meta = fused.flatpack((
-                [(s.fused, s.pt_conv, s.ln_conv) for _, s in take],
+                [(fused.fetch_view(s.fused), s.pt_conv, s.ln_conv)
+                 for _, s in take],
                 [h for (_, _, _, h) in pending_init]))
             fut = fused.submit_fetch(flat)
         self._fetch_q.append(
@@ -678,7 +679,7 @@ class FrameHandlerMono:
         rows = np.where(keep)[0][: self.cfg.caps.max_fts]
         n_pt = len(rows)
         frame.pt_uv[:n_pt] = pt.uv[rows]
-        frame.pt_f[:n_pt] = res.pt_f_cur[rows]
+        frame.pt_f[:n_pt] = self._np_unproject(pt.uv[rows])
         frame.pt_level[:n_pt] = pt.level[rows]
         frame.pt_lm[:n_pt] = lm[rows]
         frame.pt_valid[:] = False
@@ -710,9 +711,10 @@ class FrameHandlerMono:
             n_seg = len(srows)
             frame.seg_suv[:n_seg] = seg.s_uv[srows]
             frame.seg_euv[:n_seg] = seg.e_uv[srows]
-            frame.seg_sf[:n_seg] = res.seg_sf_cur[srows]
-            frame.seg_ef[:n_seg] = res.seg_ef_cur[srows]
-            frame.seg_line[:n_seg] = res.seg_line_cur[srows]
+            frame.seg_sf[:n_seg] = self._np_unproject(seg.s_uv[srows])
+            frame.seg_ef[:n_seg] = self._np_unproject(seg.e_uv[srows])
+            frame.seg_line[:n_seg] = self._np_line_coeffs(
+                frame.seg_sf[:n_seg], frame.seg_ef[:n_seg])
             frame.seg_level[:n_seg] = seg.level[srows]
             frame.seg_lm[:n_seg] = slm[srows]
             frame.seg_valid[:] = False

@@ -142,6 +142,22 @@ def _concat_f32(leaves):
     return jnp.concatenate([l.astype(jnp.float32).ravel() for l in leaves])
 
 
+_FETCH_DROP = ("pt_f_cur", "seg_sf_cur", "seg_ef_cur", "seg_line_cur")
+
+
+def fetch_view(res: "FusedResult") -> "FusedResult":
+    """FusedResult with the host-recomputable fields dropped from the
+    fetch payload (~22% of the per-frame transfer): pt_f_cur and the
+    segment bearings/line coeffs are plain unprojections of uv fields the
+    host fetches anyway — FrameHandlerMono._post_fused recomputes them
+    with its numpy helpers. The full FusedResult still exists ON DEVICE
+    (pose-opt inputs, build_next_inputs); only the transfer shrinks."""
+    # keep any leading batch axes so per-sequence slicing still works
+    return res._replace(**{
+        k: jnp.zeros(getattr(res, k).shape[:-2] + (0,), jnp.float32)
+        for k in _FETCH_DROP})
+
+
 def flatpack(tree):
     """(device flat vector, meta) from any pytree of device arrays."""
     leaves, treedef = jax.tree.flatten(tree)
