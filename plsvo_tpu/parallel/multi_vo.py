@@ -14,7 +14,7 @@ path needs them (keyframe seed init, leaving the batch).
 
 Pipelined mode (cfg.pipeline.pipelined): batched steps chain on device
 through NextFrameInputs — frame i's batched step is dispatched BEFORE any
-of frames i-1..i-depth+1 are fetched, and results are burst-fetched every
+of frames i-1..i-depth+1 are fetched, and results are window-fetched every
 pipeline_depth frames in ONE sync (including deferred keyframe
 seed-detection results). This is the batched analogue of the single-seq
 pipelined execution in FrameHandlerMono._process_frame_pipelined.
@@ -42,16 +42,16 @@ class BatchedVO:
 
     - "streams" (default on a single device): B independent pipelined
       frame-handler instances whose dispatches interleave on the device
-      queue. Measured on v5e: the fused frame step vmapped over B=8 costs
-      ~620 ms of device time vs ~8x40 ms for 8 separate dispatches — vmap
-      pessimizes the gather/while_loop-heavy VO core (batched gathers lose
-      the contiguous-4-vector fast path; early-exit GN loops run the union
-      of iteration counts). Independent streams keep each program in its
-      fast single-sequence form and amortize host syncs across streams.
+      queue; each stream keeps its small per-seq programs and its own
+      drain cadence. Best single-chip WALL-clock today: the batched drain
+      windows serialize 8 sequences' host bookkeeping, which stalls the
+      vmap mode when several sequences hit keyframes in one window.
     - "vmap": ONE vmapped device program per frame over the whole batch,
-      shard-constrained over a `mesh` — the multi-chip data-parallel path
-      (BASELINE.json config 4): per chip the batch shard is small and the
-      collective-free program scales linearly over ICI.
+      shard-mapped over a `mesh` — the multi-chip data-parallel path
+      (BASELINE.json config 4). Since the r3 window-gather samplers the
+      vmapped step is ADDITIVE on device (B=8: 51.5 ms vs 8 x 5.8 ms
+      single — scratch/profile_batched_step.py); the run uses ONE pinned
+      program variant and engages only at full batch membership.
     """
 
     def __init__(self, cam: PinholeCamera, cfg: Config, n_sequences: int,
@@ -71,7 +71,7 @@ class BatchedVO:
             # vmap mode: a vo that falls out of the batch (bootstrap/
             # relocalization) runs its per-seq frames synchronously; in
             # pipelined mode its keyframe seed detection still defers into
-            # OUR burst fetch. streams mode: each vo manages itself.
+            # OUR drain fetch. streams mode: each vo manages itself.
             vo._force_sync = self.mode != "streams"
             vo._defer_seed_init = self.pipelined and self.mode != "streams"
         # stacked device-resident seed tables for the current batch members
