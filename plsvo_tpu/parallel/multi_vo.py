@@ -348,30 +348,38 @@ class BatchedVO:
         if n <= 0:
             return
         take = [self._bq.pop(0) for _ in range(n)]
-        # deferred KF seed inits from the previous window (vo rows recorded
-        # at detection-dispatch time)
+        # deferred KF seed inits + localBA results from the previous window
+        # (vo rows recorded at dispatch time) — all ride the ONE window fetch
         pend = []
+        pend_ba = []
         for i, vo in enumerate(self.vos):
             for ent in vo._pending_seed_init:
                 pend.append((i, ent))
             vo._pending_seed_init = []
+            for ent in vo._pending_ba:
+                pend_ba.append((i, ent))
+            vo._pending_ba = []
         flat, meta = fused.flatpack((
             [(fused.fetch_view(s.fused), s.pt_conv, s.ln_conv)
              for _, _, s in take],
-            [h for (_, (_, _, _, h)) in pend]))
+            [h for (_, (_, _, _, h)) in pend],
+            [h for (_, (h, _)) in pend_ba]))
         fut = fused.submit_fetch(flat)
         self._bfetch_q.append(
             ([(didx, frames) for (didx, frames, _) in take],
-             pend, fut, meta))
+             pend, pend_ba, fut, meta))
 
     def _complete_drains_batched(self, force: bool):
         """Stage 2: bookkeep arrived windows (deterministic — see
         FrameHandlerMono._complete_drains)."""
+        from plsvo_tpu.parallel import ba as ba_mod
+
         while self._bfetch_q and force:
-            entries, pend, fut, meta = self._bfetch_q.pop(0)
-            got, init_got = fused.flatunpack(fut.result(), meta)
-            for vo in self.vos:
-                vo._complete_pending_ba()
+            entries, pend, pend_ba, fut, meta = self._bfetch_q.pop(0)
+            got, init_got, ba_got = fused.flatunpack(fut.result(), meta)
+            for (i, (_, bmeta)), (kf_R, kf_t, lm_pos) in zip(pend_ba, ba_got):
+                ba_mod.write_back_window(self.vos[i].map, kf_R, kf_t, lm_pos,
+                                         bmeta)
             for (i, (kf_slot, dm, dmin, _)), fetched in zip(pend, init_got):
                 vo = self.vos[i]
                 if self._seeds_idx is not None and i in self._seeds_idx:
@@ -418,6 +426,8 @@ class BatchedVO:
                     for d in range(depth)]
         if self._bq or self._bfetch_q:
             self._drain_all_batched()
+        for vo in self.vos:
+            vo._complete_pending_ba()  # BAs dispatched in the final window
         out = self._bready
         self._bready = []
         return out

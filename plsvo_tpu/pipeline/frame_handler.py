@@ -580,14 +580,17 @@ class FrameHandlerMono:
         take = [self._pipe_q.pop(0) for _ in range(n)]
         pending_init = self._pending_seed_init
         self._pending_seed_init = []
+        pending_ba = self._pending_ba
+        self._pending_ba = []
         with self.permon.timer("sparse_img_align"):
             flat, meta = fused.flatpack((
                 [(fused.fetch_view(s.fused), s.pt_conv, s.ln_conv)
                  for _, s in take],
-                [h for (_, _, _, h) in pending_init]))
+                [h for (_, _, _, h) in pending_init],
+                [h for h, _ in pending_ba]))
             fut = fused.submit_fetch(flat)
         self._fetch_q.append(
-            ([f for f, _ in take], pending_init, fut, meta))
+            ([f for f, _ in take], pending_init, pending_ba, fut, meta))
 
     def _complete_drains(self, force: bool):
         """Stage 2: bookkeep fetched windows. DETERMINISTIC: a window is
@@ -600,12 +603,15 @@ class FrameHandlerMono:
         'warm every program variant' bench pass no longer warmed the
         variants the timed pass hit: a ~30 s remote compile landed inside
         the measured window.)"""
+        from plsvo_tpu.parallel import ba as ba_mod
+
         while self._fetch_q and force:
-            frames, pending_init, fut, meta = self._fetch_q.pop(0)
+            frames, pending_init, pending_ba, fut, meta = self._fetch_q.pop(0)
             newest_frame = self.last_frame
             with self.permon.timer("reproject"):
-                got, init_got = fused.flatunpack(fut.result(), meta)
-            self._complete_pending_ba()
+                got, init_got, ba_got = fused.flatunpack(fut.result(), meta)
+            for (_, bmeta), (kf_R, kf_t, lm_pos) in zip(pending_ba, ba_got):
+                ba_mod.write_back_window(self.map, kf_R, kf_t, lm_pos, bmeta)
             for (kf_slot, dm, dmin, _), fetched in zip(pending_init,
                                                        init_got):
                 self._complete_seed_init(kf_slot, dm, dmin, *fetched)
@@ -893,27 +899,36 @@ class FrameHandlerMono:
             return
         out, _stats = ba_mod.bundle_adjust(
             prob, n_iter=self.cfg.pipeline.loba_num_iter)
-        flat, fmeta = fused.flatpack((out.kf_R, out.kf_t, out.lm_pos))
+        handles = (out.kf_R, out.kf_t, out.lm_pos)
         defer = (self.cfg.pipeline.pipelined and not self._force_sync) \
             or self._defer_seed_init
         if defer:
-            self._pending_ba.append((fused.submit_fetch(flat), fmeta, meta))
+            # keep DEVICE handles; the result rides the next drain window's
+            # ONE flat fetch. (An earlier variant submitted a separate
+            # background fetch per BA: on the single fetch thread it
+            # serialized behind the window fetch — which itself blocks a
+            # full window period waiting for in-flight steps — and the next
+            # drain then ate a blocking 100-250 ms per keyframe waiting for
+            # it; measured in scratch/profile_ba_wait.py.)
+            self._pending_ba.append((handles, meta))
         else:
+            flat, fmeta = fused.flatpack(handles)
             kf_R, kf_t, lm_pos = fused.flatunpack(jax.device_get(flat),
                                                   fmeta)
             ba_mod.write_back_window(m, kf_R, kf_t, lm_pos, meta)
 
     def _complete_pending_ba(self):
-        """Write back every in-flight localBA result. Called at drain
-        completion points so the write-back lands on a DETERMINISTIC frame
-        (the fetch worker is one thread: a BA future submitted before the
-        drain window's fetch is complete by the time the window's result()
-        returns, so this rarely actually blocks)."""
+        """Write back in-flight localBA results NOT yet folded into a drain
+        window (flush tails, batch-mode boundaries): one flat fetch for all
+        of them."""
         from plsvo_tpu.parallel import ba as ba_mod
 
-        while self._pending_ba:
-            fut, fmeta, meta = self._pending_ba.pop(0)
-            kf_R, kf_t, lm_pos = fused.flatunpack(fut.result(), fmeta)
+        if not self._pending_ba:
+            return
+        pend, self._pending_ba = self._pending_ba, []
+        flat, fmeta = fused.flatpack([h for h, _ in pend])
+        fetched = fused.flatunpack(jax.device_get(flat), fmeta)
+        for (_, meta), (kf_R, kf_t, lm_pos) in zip(pend, fetched):
             ba_mod.write_back_window(self.map, kf_R, kf_t, lm_pos, meta)
 
     # ------------------------------------------------------------------
