@@ -19,9 +19,18 @@ existed), and scales it across devices (SURVEY §7.1 M9):
   (SURVEY §5.8)
 
 Observations use fixed per-landmark slots (O wide) — the same SoA layout as
-the map state. Line endpoints are plain landmarks here: a segment
-contributes its two endpoints with their own bearings (the pose-side
-coupling through shared keyframes is exactly captured by S).
+the map state. Line endpoints are landmark rows whose OBSERVATION model is
+the reference's point-to-infinite-line distance (pose_optimizer.cpp:132-167):
+the residual of an endpoint in an observing keyframe is the signed distance
+of its unit-plane projection to the OBSERVED 2D line l = ŝ x ê (normalized
+over its first two coefficients), with the chain-rule Jacobian
+(l1,l2)·J_endpoint. This matches the motion-only pose optimizer's objective
+(C13), so localBA and pose opt optimize the SAME line geometry — and the
+along-line direction carries zero gradient, so endpoints never slide or
+stretch the segment (the r3 independent-endpoint model pulled endpoints
+toward possibly-misdetected observed endpoints). Rows with a zero
+`obs_line` (points, or degenerate segments) keep the 2-D reprojection
+residual.
 """
 from __future__ import annotations
 
@@ -48,6 +57,17 @@ class BAProblem(NamedTuple):
     obs_kf: jnp.ndarray  # (L,O) int32 keyframe index (-1 = empty)
     obs_f: jnp.ndarray  # (L,O,3) observed unit bearings
     obs_valid: jnp.ndarray  # (L,O)
+    # observed 2D line coefficients on the unit plane, normalized over the
+    # first two components (reference: LineFeat::line, feature.cpp:103-107)
+    # — nonzero ONLY for line-endpoint rows, where the residual becomes the
+    # point-to-infinite-line distance (pose_optimizer.cpp:132-167). None =
+    # pure point problem (backward compatible).
+    obs_line: jnp.ndarray = None  # (L,O,3) or None
+    # unit 3-D segment direction for line-endpoint rows (zeros for points):
+    # the along-segment axis is frozen in the landmark update (see
+    # _assemble_shard_direct) so noisy observed lines cannot make endpoints
+    # slide/collapse along the segment.
+    lm_dir: jnp.ndarray = None  # (L,3) or None
 
 
 class BAStats(NamedTuple):
@@ -81,6 +101,31 @@ def _residuals_jacobians(prob: BAProblem, huber: float):
     dpy = jnp.stack([o, zi, -y * zi2], -1)
     dproj = jnp.stack([dpx, dpy], -2)  # (L,O,2,3)
     Jp = -jnp.einsum("loik,lokj->loij", dproj, R)
+
+    if prob.obs_line is not None:
+        # line-endpoint rows: residual = signed distance of the projected
+        # endpoint to the observed infinite line (reference
+        # pose_optimizer.cpp:132-167), Jacobian = (l1,l2) chained through
+        # the endpoint Jacobians. Packed as a 2-residual with a zero second
+        # row so all downstream assembly is shared with the point model.
+        # The along-line direction carries zero gradient: endpoints cannot
+        # slide along the segment, so BA preserves segment extent.
+        l12 = prob.obs_line[..., :2]  # (L,O,2)
+        is_line = jnp.linalg.norm(l12, axis=-1) > 0.5  # normalized or zero
+        # e_line = -(l . [proj,1]); sign matches e = obs - proj convention
+        # (row0/row1 are already -dproj/d(.)), irrelevant to GN
+        e_line = -(jnp.einsum("loi,loi->lo", l12, proj)
+                   + prob.obs_line[..., 2])
+        Jc_line = jnp.einsum("loi,loik->lok", l12, Jc)  # (L,O,6)
+        Jp_line = jnp.einsum("loi,loik->lok", l12, Jp)  # (L,O,3)
+        zero = jnp.zeros_like(e_line)
+        e = jnp.where(is_line[..., None],
+                      jnp.stack([e_line, zero], -1), e)
+        m = is_line[..., None, None]
+        Jc = jnp.where(m, jnp.stack([Jc_line, jnp.zeros_like(Jc_line)], -2),
+                       Jc)
+        Jp = jnp.where(m, jnp.stack([Jp_line, jnp.zeros_like(Jp_line)], -2),
+                       Jp)
 
     valid = prob.obs_valid & (prob.obs_kf >= 0) & prob.lm_valid[:, None] & (xyz[..., 2] > 1e-6)
     en = jnp.linalg.norm(e, axis=-1)
@@ -119,6 +164,10 @@ def _assemble_shard(prob: BAProblem, huber: float, lm_damp: float,
         obs_kf=pad_rows(prob.obs_kf, -1),
         obs_f=pad_rows(prob.obs_f),
         obs_valid=pad_rows(prob.obs_valid, False))
+    if prob.obs_line is not None:
+        slabs["obs_line"] = pad_rows(prob.obs_line)
+    if prob.lm_dir is not None:
+        slabs["lm_dir"] = pad_rows(prob.lm_dir)
     slabs = {k: v.reshape((n, chunk) + v.shape[1:]) for k, v in slabs.items()}
 
     def body(carry, sl):
@@ -141,9 +190,33 @@ def _assemble_shard_direct(prob: BAProblem, huber: float, lm_damp: float):
     K = prob.kf_R.shape[0]
     e, Jc, Jp, w, chi2, n_obs = _residuals_jacobians(prob, huber)
 
-    # per-landmark blocks
+    # per-landmark blocks. LINE-ENDPOINT rows need two extra stabilizers
+    # (POINT rows get neither — a point's depth eigenvalue is only
+    # ~(baseline/z)^2 of its trace, and even 1e-3-relative damping
+    # measurably stalls point-depth convergence):
+    # 1. an along-segment STIFFNESS (kappa*tr * t t^T): with exact
+    #    observations the along-line direction carries zero gradient, but
+    #    NOISY observed planes intersect at a least-squares POINT, and GN
+    #    then slides both endpoints toward it — measured median 0.27
+    #    along-line drift (segments collapsing to ~0 length) on the
+    #    synthetic problem. Freezing the axis keeps updates perpendicular
+    #    to the segment, bounding extent drift at second order.
+    # 2. trace-relative damping: Hpp restricted to the perpendicular plane
+    #    is still built from near-parallel plane normals; the absolute
+    #    1e-8 damp alone amplifies f32 noise ~1e8 in the weak direction.
     Hpp = jnp.einsum("loik,loim,lo->lkm", Jp, Jp, w)  # (L,3,3)
-    Hpp = Hpp + lm_damp * jnp.eye(3)
+    if prob.obs_line is not None:
+        row_is_line = jnp.any(
+            jnp.linalg.norm(prob.obs_line[..., :2], axis=-1) > 0.5, axis=1)
+        tr = Hpp[..., 0, 0] + Hpp[..., 1, 1] + Hpp[..., 2, 2]
+        damp = lm_damp + jnp.where(row_is_line, 1e-4, 0.0) * tr / 3.0
+        Hpp = Hpp + damp[..., None, None] * jnp.eye(3)
+        if prob.lm_dir is not None:
+            stiff = jnp.where(row_is_line, 10.0, 0.0) * tr
+            Hpp = Hpp + stiff[..., None, None] * jnp.einsum(
+                "li,lj->lij", prob.lm_dir, prob.lm_dir)
+    else:
+        Hpp = Hpp + lm_damp * jnp.eye(3)
     from plsvo_tpu.batlin import inv3x3
     Hpp_inv = inv3x3(Hpp)
     b_p = -jnp.einsum("loik,loi,lo->lk", Jp, e, w)  # (L,3)
@@ -177,7 +250,7 @@ def _assemble_shard_direct(prob: BAProblem, huber: float, lm_damp: float):
     return S_flat, b_c.reshape(6 * K), Hpp_inv, b_p, W, chi2, n_obs
 
 
-def _precond_solve(S, b, damping):
+def _precond_solve(S, b, damping, kf_fixed=None):
     """Damped, Jacobi-preconditioned solve of the reduced camera system.
 
     Levenberg-style MULTIPLICATIVE damping (damping * diag(S), scale
@@ -186,7 +259,18 @@ def _precond_solve(S, b, damping):
     observations) the raw normal equations are ill-conditioned enough
     that a plain f32 solve takes wild steps — measured 0.5 m pose jumps
     on a 96-KF/50k-landmark problem that the preconditioned solve
-    handles (tests/test_ba_scale.py)."""
+    handles (tests/test_ba_scale.py).
+
+    kf_fixed pins gauge-fixed poses INSIDE the solve (rows/cols zeroed,
+    unit diagonal): solving them as free leaves the system gauge-deficient
+    (observed: 6 near-zero eigenvalues and a 2.0-norm f32 pose step on a
+    line-only problem), and the returned nonzero dc for fixed poses leaked
+    into landmark back-substitution while the pose update itself was
+    zeroed — an inconsistent step."""
+    if kf_fixed is not None:
+        free = jnp.repeat(~kf_fixed, 6).astype(S.dtype)
+        S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+        b = b * free
     d = jnp.diagonal(S)
     S = S + damping * jnp.diag(jnp.maximum(d, 1e-12))
     d2 = jnp.diagonal(S)
@@ -230,7 +314,7 @@ def bundle_adjust(
     def body(carry, _):
         p, chi2_prev = carry
         S, b, Hpp_inv, b_p, W, chi2, n_obs = _assemble_shard(p, huber, lm_damp)
-        dc = _precond_solve(S, b, damping)
+        dc = _precond_solve(S, b, damping, p.kf_fixed)
         p_new = _apply_updates(p, dc, Hpp_inv, b_p, W)
         # keep the update only if chi2 did not blow up
         _, _, _, _, _, chi2_new, _ = _assemble_shard(p_new, huber, lm_damp)
@@ -270,7 +354,9 @@ def bundle_adjust_sharded(
     specs = BAProblem(
         kf_R=P(), kf_t=P(), kf_fixed=P(),
         lm_pos=lm_spec, lm_valid=lm_spec,
-        obs_kf=lm_spec, obs_f=lm_spec, obs_valid=lm_spec)
+        obs_kf=lm_spec, obs_f=lm_spec, obs_valid=lm_spec,
+        obs_line=lm_spec if prob.obs_line is not None else None,
+        lm_dir=lm_spec if prob.lm_dir is not None else None)
 
     @partial(
         jax.shard_map, mesh=mesh, in_specs=(specs,), out_specs=(specs, P()),
@@ -282,7 +368,7 @@ def bundle_adjust_sharded(
             S = jax.lax.psum(S, axis)
             b = jax.lax.psum(b, axis)
             chi2 = jax.lax.psum(chi2, axis)
-            dc = _precond_solve(S, b, damping)
+            dc = _precond_solve(S, b, damping, p.kf_fixed)
             p_new = _apply_updates(p, dc, Hpp_inv, b_p, W)
             _, _, _, _, _, c2n, _ = _assemble_shard(p_new, huber, lm_damp)
             c2n = jax.lax.psum(c2n, axis)
@@ -301,9 +387,27 @@ def bundle_adjust_sharded(
     return jax.jit(run)(prob)
 
 
+def _obs_line_coeffs(sf, ef):
+    """Observed unit-plane line coefficients from per-observation endpoint
+    bearings: l = ŝ x ê normalized over (l1,l2) (reference: LineFeat::line,
+    feature.cpp:103-107). Zeros when degenerate (zero-length observation) —
+    those rows fall back to the endpoint-reprojection residual."""
+    import numpy as np
+
+    zs = np.where(np.abs(sf[..., 2:3]) < 1e-10, 1e-10, sf[..., 2:3])
+    ze = np.where(np.abs(ef[..., 2:3]) < 1e-10, 1e-10, ef[..., 2:3])
+    sp = np.concatenate([sf[..., :2] / zs, np.ones_like(zs)], -1)
+    ep = np.concatenate([ef[..., :2] / ze, np.ones_like(ze)], -1)
+    line = np.cross(sp, ep)
+    n = np.linalg.norm(line[..., :2], axis=-1, keepdims=True)
+    return np.where(n > 1e-8, line / np.maximum(n, 1e-12),
+                    0.0).astype(np.float32)
+
+
 def problem_from_map(map_state, cfg) -> BAProblem:
     """Build a BAProblem from the live MapState: point landmarks plus line
-    endpoints (each endpoint is a landmark row)."""
+    endpoints (each endpoint is a landmark row with the point-to-line
+    observation model via obs_line)."""
     import numpy as np
 
     m = map_state
@@ -314,14 +418,24 @@ def problem_from_map(map_state, cfg) -> BAProblem:
     pos = [m.pt_pos[P_rows]]
     obs_kf = [m.pt_obs_kf[P_rows]]
     obs_f = [m.pt_obs_f[P_rows]]
-    # line endpoints become independent landmark rows
+    obs_line = [np.zeros((len(P_rows), O, 3), np.float32)]
+    # line endpoints become landmark rows sharing the observed line coeffs
+    ln_l = _obs_line_coeffs(m.ln_obs_sf[L_rows], m.ln_obs_ef[L_rows])
     pos += [m.ln_spos[L_rows], m.ln_epos[L_rows]]
     obs_kf += [m.ln_obs_kf[L_rows], m.ln_obs_kf[L_rows]]
     obs_f += [m.ln_obs_sf[L_rows], m.ln_obs_ef[L_rows]]
+    obs_line += [ln_l, ln_l]
+    seg_d = (m.ln_epos[L_rows] - m.ln_spos[L_rows]).astype(np.float32)
+    seg_d /= np.maximum(np.linalg.norm(seg_d, axis=-1, keepdims=True), 1e-12)
+    lm_dir = [np.zeros((len(P_rows), 3), np.float32), seg_d, seg_d]
 
     pos = np.concatenate(pos, 0) if len(P_rows) + len(L_rows) else np.zeros((0, 3))
     obs_kf = np.concatenate(obs_kf, 0) if len(pos) else np.zeros((0, O), np.int32)
     obs_f = np.concatenate(obs_f, 0) if len(pos) else np.zeros((0, O, 3))
+    obs_line = (np.concatenate(obs_line, 0) if len(pos)
+                else np.zeros((0, O, 3), np.float32))
+    lm_dir = (np.concatenate(lm_dir, 0) if len(pos)
+              else np.zeros((0, 3), np.float32))
     n = len(pos)
     occ = m.kf_occupied
     # gauge: fix the oldest occupied keyframe
@@ -339,7 +453,9 @@ def problem_from_map(map_state, cfg) -> BAProblem:
         lm_valid=jnp.ones(n, bool),
         obs_kf=jnp.asarray(obs_kf, jnp.int32),
         obs_f=jnp.asarray(obs_f, jnp.float32),
-        obs_valid=jnp.asarray(ov)), meta
+        obs_valid=jnp.asarray(ov),
+        obs_line=jnp.asarray(obs_line, jnp.float32),
+        lm_dir=jnp.asarray(lm_dir, jnp.float32)), meta
 
 
 def problem_from_window(map_state, cfg, core_slots, pad_bucket: int = 256):
@@ -389,17 +505,27 @@ def problem_from_window(map_state, cfg, core_slots, pad_bucket: int = 256):
     ln_kf_c, (ln_sf_c, ln_ef_c) = compact(
         m.ln_obs_kf[L_rows], m.ln_obs_stamp[L_rows],
         [m.ln_obs_sf[L_rows], m.ln_obs_ef[L_rows]])
+    ln_l_c = _obs_line_coeffs(ln_sf_c, ln_ef_c)
     pos = [m.pt_pos[P_rows], m.ln_spos[L_rows], m.ln_epos[L_rows]]
     obs_kf = [pt_kf_c, ln_kf_c, ln_kf_c]
     obs_f = [pt_f_c, ln_sf_c, ln_ef_c]
+    obs_line = [np.zeros((len(P_rows), O, 3), np.float32), ln_l_c, ln_l_c]
+    seg_d = (m.ln_epos[L_rows] - m.ln_spos[L_rows]).astype(np.float32)
+    seg_d /= np.maximum(np.linalg.norm(seg_d, axis=-1, keepdims=True), 1e-12)
+    lm_dir = np.concatenate(
+        [np.zeros((len(P_rows), 3), np.float32), seg_d, seg_d], 0)
     pos = np.concatenate(pos, 0).astype(np.float32)
     obs_kf = np.concatenate(obs_kf, 0).astype(np.int32)
     obs_f = np.concatenate(obs_f, 0).astype(np.float32)
+    obs_line = np.concatenate(obs_line, 0).astype(np.float32)
     n = len(pos)
     n_pad = (-n) % pad_bucket if n else pad_bucket
     pos = np.concatenate([pos, np.zeros((n_pad, 3), np.float32)])
     obs_kf = np.concatenate([obs_kf, np.full((n_pad, O), -1, np.int32)])
     obs_f = np.concatenate([obs_f, np.zeros((n_pad, O, 3), np.float32)])
+    obs_line = np.concatenate([obs_line,
+                               np.zeros((n_pad, O, 3), np.float32)])
+    lm_dir = np.concatenate([lm_dir, np.zeros((n_pad, 3), np.float32)])
     valid = np.zeros(n + n_pad, bool)
     valid[:n] = True
 
@@ -425,7 +551,9 @@ def problem_from_window(map_state, cfg, core_slots, pad_bucket: int = 256):
         kf_fixed=jnp.asarray(fixed),
         lm_pos=jnp.asarray(pos), lm_valid=jnp.asarray(valid),
         obs_kf=jnp.asarray(obs_kf), obs_f=jnp.asarray(obs_f),
-        obs_valid=jnp.asarray(ov & valid[:, None])), meta
+        obs_valid=jnp.asarray(ov & valid[:, None]),
+        obs_line=jnp.asarray(obs_line),
+        lm_dir=jnp.asarray(lm_dir)), meta
 
 
 def write_back_window(map_state, kf_R, kf_t, lm_pos, meta):

@@ -40,6 +40,37 @@ from plsvo_tpu.parallel import ba as ba_mod
 _state = None
 
 
+def _backend_live() -> bool:
+    """True when the XLA backend has already been initialized in this
+    process (after which jax.distributed.initialize() must not be called)."""
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge.backends_are_initialized())
+    except Exception:
+        return False
+
+
+def _cluster_env_present() -> bool:
+    """Heuristic: does the environment look like a multi-process cluster
+    (TPU pod / SLURM / OMPI / explicit coordinator)? Mirrors the signals
+    jax's cluster autodetection keys on."""
+    import os
+
+    keys = (
+        "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID",
+        "SLURM_JOB_ID", "OMPI_MCA_orte_hnp_uri",
+    )
+    if any(os.environ.get(k) for k in keys):
+        return True
+    # TPU_WORKER_HOSTNAMES is set even on single-worker slices (e.g.
+    # 'localhost' under a tunnel): only >1 hostnames means a pod
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "") or \
+        os.environ.get("K8S_TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h.strip()]) > 1
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -59,6 +90,16 @@ def initialize(
     explicit = coordinator_address is not None or num_processes is not None
     if _state == "live" or (_state == "single" and not explicit):
         return jax.process_count() > 1
+    if not explicit and _backend_live() and not _cluster_env_present():
+        # The XLA backend is already initialized (e.g. the harness ran a
+        # compile check before calling us) and nothing in the environment
+        # says we're part of a cluster: this is a plain single-process run,
+        # where jax.distributed.initialize() would only raise "must be
+        # called before any JAX calls". Latch single-process quietly — the
+        # loud ordering warning below stays reserved for the case where a
+        # cluster IS configured and the bring-up order is actually wrong.
+        _state = "single"
+        return False
     if not explicit:
         # TPU-pod autodetection: the runtime env carries the topology. A
         # plain single-process run has nothing to detect — that exact case
@@ -167,7 +208,11 @@ def scatter_problem(prob: "ba_mod.BAProblem", mesh: Mesh,
         kf_fixed=put(prob.kf_fixed, rep_sh),
         lm_pos=put(prob.lm_pos, lm_sh), lm_valid=put(prob.lm_valid, lm_sh),
         obs_kf=put(prob.obs_kf, lm_sh), obs_f=put(prob.obs_f, lm_sh),
-        obs_valid=put(prob.obs_valid, lm_sh))
+        obs_valid=put(prob.obs_valid, lm_sh),
+        obs_line=(None if prob.obs_line is None
+                  else put(prob.obs_line, lm_sh)),
+        lm_dir=(None if prob.lm_dir is None
+                else put(prob.lm_dir, lm_sh)))
 
 
 def bundle_adjust_multihost(
@@ -204,7 +249,9 @@ def bundle_adjust_multihost(
     specs = ba_mod.BAProblem(
         kf_R=P(), kf_t=P(), kf_fixed=P(),
         lm_pos=lm_spec, lm_valid=lm_spec,
-        obs_kf=lm_spec, obs_f=lm_spec, obs_valid=lm_spec)
+        obs_kf=lm_spec, obs_f=lm_spec, obs_valid=lm_spec,
+        obs_line=lm_spec if prob.obs_line is not None else None,
+        lm_dir=lm_spec if prob.lm_dir is not None else None)
 
     def psum2(x):
         # two-stage reduction: ICI first, DCN second — XLA lowers each
@@ -222,7 +269,7 @@ def bundle_adjust_multihost(
             S = psum2(S)
             b = psum2(b)
             chi2 = psum2(chi2)
-            dc = ba_mod._precond_solve(S, b, damping)
+            dc = ba_mod._precond_solve(S, b, damping, p.kf_fixed)
             p_new = ba_mod._apply_updates(p, dc, Hpp_inv, b_p, W)
             _, _, _, _, _, c2n, _ = ba_mod._assemble_shard(
                 p_new, huber, lm_damp)

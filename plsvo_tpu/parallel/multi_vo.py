@@ -359,6 +359,12 @@ class BatchedVO:
             for ent in vo._pending_ba:
                 pend_ba.append((i, ent))
             vo._pending_ba = []
+        # cap BA entries per window (bounds the _concat_f32 leaf-signature
+        # space — see FrameHandlerMono._initiate_drain); overflow entries
+        # go back to their vo and ride the next window
+        for i, ent in pend_ba[4:]:
+            self.vos[i]._pending_ba.append(ent)
+        pend_ba = pend_ba[:4]
         flat, meta = fused.flatpack((
             [(fused.fetch_view(s.fused), s.pt_conv, s.ln_conv)
              for _, _, s in take],
@@ -426,8 +432,19 @@ class BatchedVO:
                     for d in range(depth)]
         if self._bq or self._bfetch_q:
             self._drain_all_batched()
+        # BAs dispatched in the final window: ONE flat fetch for ALL vos'
+        # tails (per-vo _complete_pending_ba would pay the ~80 ms tunnel
+        # round-trip N times at flush)
+        from plsvo_tpu.parallel import ba as ba_mod
+
+        pend = [(vo, ent) for vo in self.vos for ent in vo._pending_ba]
         for vo in self.vos:
-            vo._complete_pending_ba()  # BAs dispatched in the final window
+            vo._pending_ba = []
+        if pend:
+            flat, fmeta = fused.flatpack([h for (_, (h, _)) in pend])
+            fetched = fused.flatunpack(jax.device_get(flat), fmeta)
+            for (vo, (_, meta)), (kf_R, kf_t, lm_pos) in zip(pend, fetched):
+                ba_mod.write_back_window(vo.map, kf_R, kf_t, lm_pos, meta)
         out = self._bready
         self._bready = []
         return out

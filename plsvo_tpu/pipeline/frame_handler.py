@@ -580,8 +580,13 @@ class FrameHandlerMono:
         take = [self._pipe_q.pop(0) for _ in range(n)]
         pending_init = self._pending_seed_init
         self._pending_seed_init = []
-        pending_ba = self._pending_ba
-        self._pending_ba = []
+        # cap BA entries folded per window: each distinct pending-BA count
+        # multiplies the jitted _concat_f32 leaf-signature space (window
+        # frame count x init count x BA count) and new variants trigger
+        # remote compiles mid-run; overflow entries (rare — >2 keyframes in
+        # one window) just ride the NEXT window's fetch
+        pending_ba = self._pending_ba[:2]
+        self._pending_ba = self._pending_ba[2:]
         with self.permon.timer("sparse_img_align"):
             flat, meta = fused.flatpack((
                 [(fused.fetch_view(s.fused), s.pt_conv, s.ln_conv)
@@ -622,7 +627,15 @@ class FrameHandlerMono:
                 self._apply_harvest(g, pt_c is not None, ln_c is not None)
                 self._ready.append(self._post_fused(frame, res))
             if self.stage == STAGE_RELOCALIZING:
-                # drop every in-flight successor of the failed frame
+                # drop every in-flight successor of the failed frame — but
+                # NOT the localBA write-backs / seed inits already folded
+                # into queued windows: their device handles are still live
+                # and write_back_window / _complete_seed_init guard against
+                # stale slots, so re-queue them for the next drain/flush
+                # instead of silently losing the refinements
+                for _, q_init, q_ba, _, _ in self._fetch_q:
+                    self._pending_ba.extend(q_ba)
+                    self._pending_seed_init.extend(q_init)
                 self._pipe_q.clear()
                 self._fetch_q.clear()
                 return

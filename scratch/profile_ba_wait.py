@@ -1,4 +1,9 @@
-"""Why does _complete_pending_ba block? Per-call wait times + future state."""
+"""Why does _complete_pending_ba block? Per-call wait times + pending count.
+
+(Historical note: the measurements cited by frame_handler._dispatch_local_ba
+were taken against the pre-r3 variant where _pending_ba entries carried
+their own background-fetch futures; entries are now (handles, meta) —
+this script reports wait time + count for the CURRENT format.)"""
 import time
 import numpy as np
 import jax
@@ -32,12 +37,11 @@ events = []
 
 
 def patched():
-    n = len(vo._pending_ba)
+    n = len(vo._pending_ba)  # entries are (handles, meta); one flat fetch
     if n:
-        done = [f.done() for f, _, _ in vo._pending_ba]
         t0 = time.perf_counter()
         orig()
-        events.append((vo.frame_id, n, done, time.perf_counter() - t0))
+        events.append((vo.frame_id, n, None, time.perf_counter() - t0))
     else:
         orig()
 
