@@ -137,6 +137,11 @@ class PipelineConfig:
     # has the same lag).
     loba_enabled: bool = True
     loba_num_iter: int = 5
+    # quadratic prior anchoring free poses to their tracked input estimates
+    # inside localBA (pins the near-flat monocular manifold on planar /
+    # short-baseline windows; measured ATE 0.0039 with vs 0.0144 without
+    # on the golden sequence once line residuals landed)
+    loba_pose_prior: float = 1.0
 
     # epipolar search (C9): width of the sliding ZMSSD window in px at the
     # search level. Bands longer than this bump to a coarser pyramid level

@@ -26,11 +26,13 @@ Behavioral parity with the reference:
 - update T <- T * exp(-x) (sparse_img_align.cpp:705-710)
 - coarse-to-fine levels klt_max_level..klt_min_level (default 4..2)
 
-Divergence (by design, SURVEY §7.2): fixed n_line_samples per segment with
-masks instead of the dynamic per-length sample count
-(src/feature.cpp:160-173); patch offsets are center-symmetric rather than
-floor-anchored — self-consistent between ref and cur so the optimum is
-identical.
+Line sampling: per-level length-adaptive — each segment's ACTIVE sample
+count is clip(projected_length_lvl_px / patch + 1, 2, K) inside a fixed
+(M,K) array with a tail mask (the reference's setupSampling,
+src/feature.cpp:160-173, incl. its per-level halving via level-px length;
+no dynamic shapes, no program variants). Patch offsets are
+center-symmetric rather than floor-anchored — self-consistent between ref
+and cur so the optimum is identical.
 """
 from __future__ import annotations
 
@@ -53,11 +55,22 @@ class AlignPoints(NamedTuple):
 
 
 class AlignSegments(NamedTuple):
-    """Line-segment sample units (fixed capacity M lines x K samples)."""
+    """Line-segment sample units (fixed capacity M lines x K samples).
+
+    With p_ref/q_ref (3D endpoints in the ref camera frame) present, the
+    aligner resamples each segment PER PYRAMID LEVEL with a length-adaptive
+    active count n_i = clip(len_lvl_px/patch + 1, 2, K) — the reference's
+    setupSampling behavior (feature.cpp:160-173; per-level halving falls
+    out of measuring the length in level px, sparse_img_align.cpp:300-310)
+    — with fixed (M,K) shapes and a tail mask, so no program variants.
+    Without them, the precomputed xyz_ref/uv_ref samples are used at every
+    level (legacy fixed-budget path)."""
 
     xyz_ref: jnp.ndarray  # (M, K, 3) sampled 3D points in ref camera frame
     uv_ref: jnp.ndarray  # (M, K, 2) level-0 pixel coords of the samples
     valid: jnp.ndarray  # (M,) bool — per line
+    p_ref: jnp.ndarray = None  # (M,3) start endpoint (ref camera frame)
+    q_ref: jnp.ndarray = None  # (M,3) end endpoint
 
 
 class AlignResult(NamedTuple):
@@ -168,19 +181,45 @@ def sparse_img_align(
 
     # precompute twist jacobians at ref (level independent, IC)
     Jpt_frame = jacobian_xyz2uv(pts.xyz_ref)  # (N,2,6)
-    Jseg_frame = jacobian_xyz2uv(segs.xyz_ref)  # (M,K,2,6)
+    adaptive = segs.p_ref is not None
 
-    # points + all line samples share the gather batch: ONE warp/project and
-    # ONE patch gather per GN iteration instead of two of each (the fixed
-    # per-kernel costs dominate at these sizes)
-    xyz_all = jnp.concatenate([pts.xyz_ref, segs.xyz_ref.reshape(M * K, 3)])
-    uv_all_ref = jnp.concatenate([pts.uv_ref, segs.uv_ref.reshape(M * K, 2)])
+    def _proj0(xyz):
+        z = jnp.where(jnp.abs(xyz[..., 2]) < 1e-10, 1e-10, xyz[..., 2])
+        return jnp.stack([fx * xyz[..., 0] / z + cx,
+                          fy * xyz[..., 1] / z + cy], -1)
 
     for level in levels:
         ref_img = pyr_ref[level]
         cur_img = pyr_cur[level]
         scale = f32(1.0 / (1 << level))
         focal_scale = (fx * scale).astype(f32)  # errorMultiplier2/2^L analogue
+
+        # ---- per-level segment sampling (length-adaptive when endpoints
+        # are present — setupSampling analogue, see AlignSegments) ----
+        if adaptive:
+            sp_lvl = _proj0(segs.p_ref) * scale
+            ep_lvl = _proj0(segs.q_ref) * scale
+            length = jnp.linalg.norm(ep_lvl - sp_lvl, axis=-1)  # level px
+            n_act = jnp.clip((length / patch_size).astype(jnp.int32) + 1,
+                             2, K)  # (M,)
+            jidx = jnp.arange(K, dtype=f32)
+            denom = jnp.maximum(n_act - 1, 1).astype(f32)
+            alpha = jnp.minimum(jidx[None, :] / denom[:, None], 1.0)  # (M,K)
+            dpq = (segs.q_ref - segs.p_ref)[:, None, :]
+            xyz_sg = segs.p_ref[:, None, :] + alpha[..., None] * dpq
+            uv_sg = _proj0(xyz_sg)  # level-0 px
+            smask = jidx[None, :] < n_act.astype(f32)[:, None]  # (M,K)
+        else:
+            xyz_sg = segs.xyz_ref
+            uv_sg = segs.uv_ref
+            smask = jnp.ones((M, K), bool)
+            n_act = jnp.full((M,), K, jnp.int32)
+        Jseg_frame = jacobian_xyz2uv(xyz_sg)  # (M,K,2,6)
+        # points + all line samples share the gather batch: ONE warp/project
+        # and ONE patch gather per GN iteration instead of two of each (the
+        # fixed per-kernel costs dominate at these sizes)
+        xyz_all = jnp.concatenate([pts.xyz_ref, xyz_sg.reshape(M * K, 3)])
+        uv_all_ref = jnp.concatenate([pts.uv_ref, uv_sg.reshape(M * K, 2)])
 
         # ---- per-level inverse-compositional precompute (one fused
         # patch+gradient gather for points and line samples) ----
@@ -198,12 +237,13 @@ def sparse_img_align(
         dx_sg = dx_all[N:].reshape(M, K, P)
         dy_sg = dy_all[N:].reshape(M, K, P)
         # reference requires both ENDPOINT patches in frame (line-level check,
-        # sparse_img_align.cpp:299-301); we require all samples' patches.
-        vis_sg = jnp.all(vis_all[N:].reshape(M, K), axis=-1) & seg_alive  # (M,)
+        # sparse_img_align.cpp:299-301); we require all ACTIVE samples'.
+        vis_sg = jnp.all(vis_all[N:].reshape(M, K) | ~smask,
+                         axis=-1) & seg_alive  # (M,)
         Jsg = (
             dx_sg[..., None] * Jseg_frame[:, :, None, 0, :]
             + dy_sg[..., None] * Jseg_frame[:, :, None, 1, :]
-        ) * focal_scale  # (M,K,P,6)
+        ) * focal_scale * smask[..., None, None]  # (M,K,P,6); tail zeroed
 
         # ---- per-level window prefetch: ONE gather at the level-start
         # projections; every GN iteration resamples gather-free from the
@@ -246,9 +286,10 @@ def sparse_img_align(
             # ---- segments ----
             I_cur_sg = I_cur_all[N:].reshape(M, K, P)
             in_sg = in_all[N:].reshape(M, K)
-            ok_line = vis_sg & jnp.all(in_sg, axis=-1) & alive  # (M,)
+            ok_line = vis_sg & jnp.all(in_sg | ~smask, axis=-1) & alive  # (M,)
             r_sg = I_cur_sg - I_ref_sg  # (M,K,P)
-            mean_abs = jnp.mean(jnp.abs(r_sg), axis=(1, 2))  # (M,)
+            mean_abs = (jnp.sum(jnp.abs(r_sg) * smask[..., None], axis=(1, 2))
+                        / jnp.maximum(n_act.astype(f32) * P, 1.0))  # (M,)
             # permanent drop gate (reference: res_ >= 200 -> feat3D = NULL)
             alive_new = alive & jnp.where(ok_line, mean_abs < 200.0, True)
             use_line = ok_line & (mean_abs < 200.0)
@@ -262,7 +303,8 @@ def sparse_img_align(
 
             H = H_pt + H_sg
             b = b_pt + b_sg
-            n_meas = jnp.sum(ok_pt) * P + jnp.sum(use_line) * K * P
+            n_meas = (jnp.sum(ok_pt) * P
+                      + jnp.sum(jnp.where(use_line, n_act, 0)) * P)
             chi2 = (chi2_pt + chi2_sg) / jnp.maximum(n_meas.astype(f32), 1.0)
 
             from plsvo_tpu.batlin import solve_psd
@@ -323,4 +365,6 @@ def make_align_segments(sp_uv, ep_uv, s_bearing, e_bearing, s_depth, e_depth,
     z = jnp.where(jnp.abs(xyz[..., 2]) < 1e-10, 1e-10, xyz[..., 2])
     uv = jnp.stack(
         [fx * xyz[..., 0] / z + cx, fy * xyz[..., 1] / z + cy], axis=-1)
-    return AlignSegments(xyz_ref=xyz, uv_ref=uv, valid=valid)
+    # endpoints enable the aligner's per-level length-adaptive resampling
+    return AlignSegments(xyz_ref=xyz, uv_ref=uv, valid=valid,
+                         p_ref=p_ref, q_ref=q_ref)

@@ -299,7 +299,26 @@ def _apply_updates(prob: BAProblem, dc: jnp.ndarray, Hpp_inv, b_p, W):
     return prob._replace(kf_R=R_new, kf_t=t_new, lm_pos=lm_new)
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
+def _pose_prior_terms(p: BAProblem, prob0: BAProblem, pose_prior: float):
+    """Quadratic prior anchoring free poses to their INPUT (tracked)
+    estimates: cost (pose_prior/2)|log(T T_input^-1)|^2 per free KF.
+
+    Why: on weakly-constrained windows (planar scene + short baselines +
+    one gauge KF — the monocular near-flat manifold) GN can reduce chi2 by
+    sliding poses+landmarks centimeters along directions the observations
+    barely see (measured: a 3 cm pose move cutting chi2 84x while
+    WORSENING trajectory ATE 3x). The prior contributes ~nothing where the
+    data has curvature and pins the flat directions to the tracked poses,
+    which carry the history's information. Returns (S_add diag scalar,
+    b_add (6K,))."""
+    xi = jax.vmap(lambda R, t, R0, t0: lie.se3_log(
+        *lie.compose(R, t, *lie.inverse(R0, t0))))(
+        p.kf_R, p.kf_t, prob0.kf_R, prob0.kf_t)  # (K,6) deviation twists
+    xi = jnp.where(p.kf_fixed[:, None], 0.0, xi)
+    return pose_prior, -pose_prior * xi.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "pose_prior"))
 def bundle_adjust(
     prob: BAProblem,
     *,
@@ -307,6 +326,7 @@ def bundle_adjust(
     huber: float = 1.0 / 250.0,  # unit-plane Huber width ~1px at f=250
     damping: float = 1e-4,
     lm_damp: float = 1e-8,
+    pose_prior: float = 0.0,
 ):
     """Single-device GN-with-damping BA. Returns (problem, stats)."""
     K = prob.kf_R.shape[0]
@@ -314,6 +334,10 @@ def bundle_adjust(
     def body(carry, _):
         p, chi2_prev = carry
         S, b, Hpp_inv, b_p, W, chi2, n_obs = _assemble_shard(p, huber, lm_damp)
+        if pose_prior > 0.0:
+            s_add, b_add = _pose_prior_terms(p, prob, pose_prior)
+            S = S + s_add * jnp.eye(6 * K)
+            b = b + b_add
         dc = _precond_solve(S, b, damping, p.kf_fixed)
         p_new = _apply_updates(p, dc, Hpp_inv, b_p, W)
         # keep the update only if chi2 did not blow up
@@ -339,6 +363,7 @@ def bundle_adjust_sharded(
     huber: float = 1.0 / 250.0,
     damping: float = 1e-4,
     lm_damp: float = 1e-8,
+    pose_prior: float = 0.0,
 ):
     """Distributed BA: landmark rows (and their obs) sharded over `axis`;
     poses replicated. Each device assembles its partial reduced system,
@@ -362,12 +387,18 @@ def bundle_adjust_sharded(
         jax.shard_map, mesh=mesh, in_specs=(specs,), out_specs=(specs, P()),
     )
     def run(p_local: BAProblem):
+        p0 = p_local
+
         def body(carry, _):
             p, chi2_prev = carry
             S, b, Hpp_inv, b_p, W, chi2, n_obs = _assemble_shard(p, huber, lm_damp)
             S = jax.lax.psum(S, axis)
             b = jax.lax.psum(b, axis)
             chi2 = jax.lax.psum(chi2, axis)
+            if pose_prior > 0.0:
+                s_add, b_add = _pose_prior_terms(p, p0, pose_prior)
+                S = S + s_add * jnp.eye(6 * K)
+                b = b + b_add
             dc = _precond_solve(S, b, damping, p.kf_fixed)
             p_new = _apply_updates(p, dc, Hpp_inv, b_p, W)
             _, _, _, _, _, c2n, _ = _assemble_shard(p_new, huber, lm_damp)

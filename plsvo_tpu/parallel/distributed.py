@@ -225,6 +225,7 @@ def bundle_adjust_multihost(
     huber: float = 1.0 / 250.0,
     damping: float = 1e-4,
     lm_damp: float = 1e-8,
+    pose_prior: float = 0.0,
 ):
     """Hierarchical distributed BA over a (dcn, ici) mesh.
 
@@ -262,6 +263,8 @@ def bundle_adjust_multihost(
     @partial(jax.shard_map, mesh=mesh, in_specs=(specs,),
              out_specs=(specs, P()))
     def run(p_local: "ba_mod.BAProblem"):
+        p0 = p_local
+
         def body(carry, _):
             p, chi2_prev = carry
             S, b, Hpp_inv, b_p, W, chi2, n_obs = ba_mod._assemble_shard(
@@ -269,6 +272,10 @@ def bundle_adjust_multihost(
             S = psum2(S)
             b = psum2(b)
             chi2 = psum2(chi2)
+            if pose_prior > 0.0:
+                s_add, b_add = ba_mod._pose_prior_terms(p, p0, pose_prior)
+                S = S + s_add * jnp.eye(6 * K)
+                b = b + b_add
             dc = ba_mod._precond_solve(S, b, damping, p.kf_fixed)
             p_new = ba_mod._apply_updates(p, dc, Hpp_inv, b_p, W)
             _, _, _, _, _, c2n, _ = ba_mod._assemble_shard(

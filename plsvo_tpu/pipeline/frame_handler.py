@@ -669,8 +669,11 @@ class FrameHandlerMono:
         m = self.map
 
         # --- host bookkeeping (same rules as the staged path) ---
-        # lines dropped by the photometric gate lose their landmark link
-        drop = last.seg_valid & ~res.align_seg_alive
+        # lines dropped by the photometric gate lose their landmark link.
+        # (Pipelined mode: the device align-input table can carry extra
+        # reprojector-retry rows beyond the host frame capacity — slice to
+        # the host width.)
+        drop = last.seg_valid & ~res.align_seg_alive[:len(last.seg_valid)]
         last.seg_lm[drop] = -1
 
         pt = res.pt
@@ -911,7 +914,8 @@ class FrameHandlerMono:
         if meta["n_points"] + meta["n_lines"] == 0:
             return
         out, _stats = ba_mod.bundle_adjust(
-            prob, n_iter=self.cfg.pipeline.loba_num_iter)
+            prob, n_iter=self.cfg.pipeline.loba_num_iter,
+            pose_prior=self.cfg.pipeline.loba_pose_prior)
         handles = (out.kf_R, out.kf_t, out.lm_pos)
         defer = (self.cfg.pipeline.pipelined and not self._force_sync) \
             or self._defer_seed_init

@@ -35,13 +35,22 @@ from plsvo_tpu.ops.detection import grid_cells
 
 def masked_compact(mask: jnp.ndarray, max_out: int):
     """Stable-compact indices of True entries to the front.
-    Returns (src_idx (max_out,), valid (max_out,))."""
+    Returns (src_idx (max_out,), valid (max_out,)).
+
+    Invalid rows scatter to index n with mode="drop" (an earlier variant
+    used an n+1-long buffer whose dump slot leaked a spurious valid row
+    into position n whenever n < max_out); output is always exactly
+    max_out wide, padded invalid when fewer rows exist."""
     n = mask.shape[0]
     rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
     dest = jnp.where(mask, rank, n)
-    inv = jnp.full((n + 1,), n, jnp.int32)
-    inv = inv.at[dest].set(jnp.arange(n, dtype=jnp.int32))
-    src = inv[:max_out]
+    inv = jnp.full((n,), n, jnp.int32)
+    inv = inv.at[dest].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    if n >= max_out:
+        src = inv[:max_out]
+    else:
+        src = jnp.concatenate(
+            [inv, jnp.full((max_out - n,), n, jnp.int32)])
     ok = src < n
     return jnp.where(ok, src, 0), ok
 
@@ -93,44 +102,25 @@ def _rel_pose_to_anchor(kf_R, kf_t, akf_c, R_cur, t_cur):
     return R_ca, t_ca, anchor_center
 
 
-def _select_points(
-    pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
-    pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
-    kf_R, kf_t, img_shape, R_cur, t_cur, fx, fy, cx, cy,
-    *, cell_size, max_out, patch_size,
-    pt_anchor_type=None, pt_anchor_dir=None,
-):
-    """Project all point landmarks, per-cell best-quality dedup, min-view-
-    angle anchor selection. Returns (lm, sel, RefineInputs)."""
-    P = pt_pos.shape[0]
-    H, W = img_shape
-    nx, ny, n_cells = grid_cells(W, H, cell_size)
+class RetryInfo(NamedTuple):
+    """Per-cell runner-up bookkeeping for the second refinement round
+    (reference: refineBestCandidate retries the next-best candidate in a
+    cell after a failed refinement, reprojector.cpp:236-276)."""
 
-    # ---- project all active landmarks ----
-    xyz = jnp.einsum("ij,pj->pi", R_cur, pt_pos) + t_cur
-    z_ok = xyz[:, 2] > 1e-3
-    zs = jnp.where(z_ok, xyz[:, 2], 1.0)
-    uv = jnp.stack([fx * xyz[:, 0] / zs + cx, fy * xyz[:, 1] / zs + cy], -1)
-    margin = patch_size
-    in_img = ((uv[:, 0] > margin) & (uv[:, 0] < W - margin)
-              & (uv[:, 1] > margin) & (uv[:, 1] < H - margin))
-    active = (pt_status > 0) & z_ok & in_img
+    cell_of_row: jnp.ndarray  # (M,) cell id of each first-round row
+    second_row: jnp.ndarray  # (n_cells,) runner-up landmark row, -1 = none
 
-    # ---- per-cell best-quality winner ----
-    cell = (jnp.clip((uv[:, 1] / cell_size).astype(jnp.int32), 0, ny - 1) * nx
-            + jnp.clip((uv[:, 0] / cell_size).astype(jnp.int32), 0, nx - 1))
-    # key: status first, then lower row idx wins (deterministic)
-    key = jnp.where(active, pt_status.astype(jnp.int32) * (P + 1) + (P - jnp.arange(P)), 0)
-    cell_best = jax.ops.segment_max(key, cell, num_segments=n_cells)
-    is_winner = active & (key == cell_best[cell]) & (key > 0)
 
-    src, sel = masked_compact(is_winner, max_out)
-    lm = src  # landmark rows
-
-    # ---- min-view-angle observation as the warp anchor ----
-    # (reference: Feature3D::getCloseViewObs, feature3D.cpp:80-125 — pick
-    # the stored observation whose viewing direction is closest to the
-    # current one; falls back to the creation anchor when no obs slot wins)
+def _point_anchor_inputs(lm, valid, uv_init, pt_pos,
+                         pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
+                         pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
+                         pt_anchor_level, kf_R, kf_t, R_cur, t_cur,
+                         pt_anchor_type=None, pt_anchor_dir=None):
+    """Warp-anchor selection for a set of point-landmark rows: min-view-
+    angle observation as the anchor (reference: Feature3D::getCloseViewObs,
+    feature3D.cpp:80-125 — pick the stored observation whose viewing
+    direction is closest to the current one; falls back to the creation
+    anchor when no obs slot wins)."""
     obs_kf_l = pt_obs_kf[lm]  # (M,O)
     obs_ok = obs_kf_l >= 0
     okf_c = jnp.maximum(obs_kf_l, 0)
@@ -169,10 +159,72 @@ def _select_points(
           else jnp.zeros(M, jnp.int32))
     gd = (pt_anchor_dir[lm] if pt_anchor_dir is not None
           else jnp.zeros((M, 2), jnp.float32))
-    return lm, sel, RefineInputs(
+    return RefineInputs(
         kf_idx=akf_c, uv_ref=a_uv, f_ref=a_f, depth_ref=depth_ref,
-        level_ref=a_level, R_ca=R_ca, t_ca=t_ca, uv_init=uv[lm],
-        valid=sel & (akf >= 0), ftype=ft, grad_dir=gd)
+        level_ref=a_level, R_ca=R_ca, t_ca=t_ca, uv_init=uv_init,
+        valid=valid & (akf >= 0), ftype=ft, grad_dir=gd)
+
+
+def _runner_up_by_cell(key, is_winner, active, cell, n_cells, n_rows):
+    """Deterministic per-cell runner-up row: mask the winners out and take
+    the per-cell max again. Returns (n_cells,) landmark row, -1 = none."""
+    key2 = jnp.where(is_winner, 0, key)
+    cell_best2 = jax.ops.segment_max(key2, cell, num_segments=n_cells)
+    is_second = active & ~is_winner & (key2 == cell_best2[cell]) & (key2 > 0)
+    rowval = jnp.where(is_second, n_rows - jnp.arange(n_rows), 0)
+    second_val = jax.ops.segment_max(rowval, cell, num_segments=n_cells)
+    return jnp.where(second_val > 0, n_rows - second_val, -1)
+
+
+def _project_uv(pos, R_cur, t_cur, fx, fy, cx, cy):
+    xyz = jnp.einsum("ij,pj->pi", R_cur, pos) + t_cur
+    ok = xyz[:, 2] > 1e-3
+    zs = jnp.where(ok, xyz[:, 2], 1.0)
+    return jnp.stack([fx * xyz[:, 0] / zs + cx,
+                      fy * xyz[:, 1] / zs + cy], -1), ok
+
+
+def _select_points(
+    pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
+    pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
+    kf_R, kf_t, img_shape, R_cur, t_cur, fx, fy, cx, cy,
+    *, cell_size, max_out, patch_size,
+    pt_anchor_type=None, pt_anchor_dir=None,
+):
+    """Project all point landmarks, per-cell best-quality dedup, min-view-
+    angle anchor selection. Returns (lm, sel, RefineInputs, RetryInfo)."""
+    P = pt_pos.shape[0]
+    H, W = img_shape
+    nx, ny, n_cells = grid_cells(W, H, cell_size)
+
+    # ---- project all active landmarks ----
+    uv, z_ok = _project_uv(pt_pos, R_cur, t_cur, fx, fy, cx, cy)
+    margin = patch_size
+    in_img = ((uv[:, 0] > margin) & (uv[:, 0] < W - margin)
+              & (uv[:, 1] > margin) & (uv[:, 1] < H - margin))
+    active = (pt_status > 0) & z_ok & in_img
+
+    # ---- per-cell best-quality winner ----
+    cell = (jnp.clip((uv[:, 1] / cell_size).astype(jnp.int32), 0, ny - 1) * nx
+            + jnp.clip((uv[:, 0] / cell_size).astype(jnp.int32), 0, nx - 1))
+    # key: status first, then lower row idx wins (deterministic)
+    key = jnp.where(active, pt_status.astype(jnp.int32) * (P + 1) + (P - jnp.arange(P)), 0)
+    cell_best = jax.ops.segment_max(key, cell, num_segments=n_cells)
+    is_winner = active & (key == cell_best[cell]) & (key > 0)
+
+    src, sel = masked_compact(is_winner, max_out)
+    lm = src  # landmark rows
+
+    ri = _point_anchor_inputs(
+        lm, sel, uv[lm], pt_pos, pt_obs_kf, pt_obs_uv, pt_obs_f,
+        pt_obs_level, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
+        pt_anchor_level, kf_R, kf_t, R_cur, t_cur,
+        pt_anchor_type, pt_anchor_dir)
+    retry = RetryInfo(
+        cell_of_row=cell[lm],
+        second_row=_runner_up_by_cell(key, is_winner, active, cell,
+                                      n_cells, P))
+    return lm, sel, ri, retry
 
 
 def _select_segments(
@@ -184,20 +236,13 @@ def _select_segments(
     """Line landmarks: per-cell dedup on the midpoint cell; emits refine
     inputs for BOTH endpoints (reference: findMatchDirect(LineSeg),
     matcher.cpp:232-275; grid insertion at both endpoint cells,
-    reprojector.cpp:405-423). Returns (lm, sel, ri_start, ri_end)."""
+    reprojector.cpp:405-423). Returns (lm, sel, ri_start, ri_end, retry)."""
     L = ln_spos.shape[0]
     H, W = img_shape
     nx, ny, n_cells = grid_cells(W, H, cell_size)
 
-    def proj(pos):
-        xyz = jnp.einsum("ij,pj->pi", R_cur, pos) + t_cur
-        ok = xyz[:, 2] > 1e-3
-        zsafe = jnp.where(ok, xyz[:, 2], 1.0)
-        return jnp.stack([fx * xyz[:, 0] / zsafe + cx,
-                          fy * xyz[:, 1] / zsafe + cy], -1), ok
-
-    suv, s_ok = proj(ln_spos)
-    euv, e_ok = proj(ln_epos)
+    suv, s_ok = _project_uv(ln_spos, R_cur, t_cur, fx, fy, cx, cy)
+    euv, e_ok = _project_uv(ln_epos, R_cur, t_cur, fx, fy, cx, cy)
     margin = patch_size
 
     def in_img(uv):
@@ -214,13 +259,29 @@ def _select_segments(
     src, sel = masked_compact(is_winner, max_out)
     lm = src
 
+    ri_s, ri_e = _segment_anchor_inputs(
+        lm, sel, suv[lm], euv[lm], ln_spos, ln_epos, ln_anchor_kf,
+        ln_anchor_suv, ln_anchor_euv, ln_anchor_sf, ln_anchor_ef,
+        ln_anchor_level, kf_R, kf_t, R_cur, t_cur)
+    retry = RetryInfo(
+        cell_of_row=cell[lm],
+        second_row=_runner_up_by_cell(key, is_winner, active, cell,
+                                      n_cells, L))
+    return lm, sel, ri_s, ri_e, retry
+
+
+def _segment_anchor_inputs(lm, valid, suv_init, euv_init, ln_spos, ln_epos,
+                           ln_anchor_kf, ln_anchor_suv, ln_anchor_euv,
+                           ln_anchor_sf, ln_anchor_ef, ln_anchor_level,
+                           kf_R, kf_t, R_cur, t_cur):
+    """Refine inputs for both endpoints of a set of line-landmark rows."""
     akf = ln_anchor_kf[lm]
     akf_c = jnp.maximum(akf, 0)
     R_ca, t_ca, anchor_center = _rel_pose_to_anchor(
         kf_R, kf_t, akf_c, R_cur, t_cur)
     s_depth = jnp.linalg.norm(ln_spos[lm] - anchor_center, axis=-1)
     e_depth = jnp.linalg.norm(ln_epos[lm] - anchor_center, axis=-1)
-    valid0 = sel & (akf >= 0)
+    valid0 = valid & (akf >= 0)
     lvl = ln_anchor_level[lm]
     M = lm.shape[0]
     zt = jnp.zeros(M, jnp.int32)
@@ -228,12 +289,21 @@ def _select_segments(
     ri_s = RefineInputs(
         kf_idx=akf_c, uv_ref=ln_anchor_suv[lm], f_ref=ln_anchor_sf[lm],
         depth_ref=s_depth, level_ref=lvl, R_ca=R_ca, t_ca=t_ca,
-        uv_init=suv[lm], valid=valid0, ftype=zt, grad_dir=zd)
+        uv_init=suv_init, valid=valid0, ftype=zt, grad_dir=zd)
     ri_e = RefineInputs(
         kf_idx=akf_c, uv_ref=ln_anchor_euv[lm], f_ref=ln_anchor_ef[lm],
         depth_ref=e_depth, level_ref=lvl, R_ca=R_ca, t_ca=t_ca,
-        uv_init=euv[lm], valid=valid0, ftype=zt, grad_dir=zd)
-    return lm, sel, ri_s, ri_e
+        uv_init=euv_init, valid=valid0, ftype=zt, grad_dir=zd)
+    return ri_s, ri_e
+
+
+def _retry_rows(retry: RetryInfo, failed: jnp.ndarray, max_retry: int):
+    """Pick up to max_retry runner-up landmark rows for cells whose first
+    candidate failed refinement. Returns (lm2, valid2)."""
+    lm2_cand = retry.second_row[retry.cell_of_row]  # (M,)
+    want = failed & (lm2_cand >= 0)
+    src2, ok2 = masked_compact(want, max_retry)
+    return jnp.maximum(lm2_cand[src2], 0), ok2
 
 
 def _refine(kf_pyr_stack, cur_pyr, ri: RefineInputs, fx, fy, cx, cy,
@@ -250,7 +320,7 @@ def _refine(kf_pyr_stack, cur_pyr, ri: RefineInputs, fx, fy, cx, cy,
 
 
 @partial(jax.jit, static_argnames=("cell_size", "max_out", "patch_size",
-                                   "has_edgelets"))
+                                   "has_edgelets", "retry"))
 def reproject_points(
     pt_pos: jnp.ndarray,  # (P,3)
     pt_status: jnp.ndarray,  # (P,) int8
@@ -275,8 +345,9 @@ def reproject_points(
     has_edgelets: bool = False,
     pt_anchor_type=None,
     pt_anchor_dir=None,
+    retry: bool = True,
 ) -> ReprojResult:
-    lm, sel, ri = _select_points(
+    lm, sel, ri, rinfo = _select_points(
         pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
         pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
         kf_R, kf_t, cur_pyr[0].shape, R_cur, t_cur, fx, fy, cx, cy,
@@ -284,6 +355,24 @@ def reproject_points(
         pt_anchor_type=pt_anchor_type, pt_anchor_dir=pt_anchor_dir)
     res = _refine(kf_pyr_stack, cur_pyr, ri, fx, fy, cx, cy,
                   patch_size=patch_size, has_edgelets=has_edgelets)
+    if retry:
+        # second round over cells whose winner failed: runner-up candidate
+        # (reference: reprojector.cpp:236-276), appended as EXTRA result
+        # rows so the first candidate's failure still reaches the quality
+        # counters. Fixed width max_out//4 — one program variant.
+        Mr = max(max_out // 4, 8)
+        lm2, sel2 = _retry_rows(rinfo, sel & ~res.ok, Mr)
+        uv2, _ = _project_uv(pt_pos[lm2], R_cur, t_cur, fx, fy, cx, cy)
+        ri2 = _point_anchor_inputs(
+            lm2, sel2, uv2, pt_pos, pt_obs_kf, pt_obs_uv, pt_obs_f,
+            pt_obs_level, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
+            pt_anchor_level, kf_R, kf_t, R_cur, t_cur,
+            pt_anchor_type, pt_anchor_dir)
+        res2 = _refine(kf_pyr_stack, cur_pyr, ri2, fx, fy, cx, cy,
+                       patch_size=patch_size, has_edgelets=has_edgelets)
+        lm = jnp.concatenate([lm, lm2])
+        sel = jnp.concatenate([sel, sel2])
+        res = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), res, res2)
     return ReprojResult(
         lm_idx=lm, selected=sel, uv=res.uv, level=res.level,
         matched=res.ok & sel,
@@ -291,7 +380,8 @@ def reproject_points(
         n_matches=jnp.sum(res.ok & sel).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("cell_size", "max_out", "patch_size"))
+@partial(jax.jit, static_argnames=("cell_size", "max_out", "patch_size",
+                                   "retry"))
 def reproject_segments(
     ln_spos, ln_epos, ln_status,
     ln_anchor_kf, ln_anchor_suv, ln_anchor_euv, ln_anchor_sf, ln_anchor_ef,
@@ -302,8 +392,9 @@ def reproject_segments(
     cell_size: int = 25,
     max_out: int = 96,
     patch_size: int = 8,
+    retry: bool = True,
 ) -> ReprojSegResult:
-    lm, sel, ri_s, ri_e = _select_segments(
+    lm, sel, ri_s, ri_e, rinfo = _select_segments(
         ln_spos, ln_epos, ln_status, ln_anchor_kf, ln_anchor_suv,
         ln_anchor_euv, ln_anchor_sf, ln_anchor_ef, ln_anchor_level,
         kf_R, kf_t, cur_pyr[0].shape, R_cur, t_cur, fx, fy, cx, cy,
@@ -312,6 +403,26 @@ def reproject_segments(
                     patch_size=patch_size)
     res_e = _refine(kf_pyr_stack, cur_pyr, ri_e, fx, fy, cx, cy,
                     patch_size=patch_size)
+    if retry:
+        Gr = max(max_out // 4, 8)
+        failed = sel & ~(res_s.ok & res_e.ok)
+        lm2, sel2 = _retry_rows(rinfo, failed, Gr)
+        suv2, _ = _project_uv(ln_spos[lm2], R_cur, t_cur, fx, fy, cx, cy)
+        euv2, _ = _project_uv(ln_epos[lm2], R_cur, t_cur, fx, fy, cx, cy)
+        ri_s2, ri_e2 = _segment_anchor_inputs(
+            lm2, sel2, suv2, euv2, ln_spos, ln_epos, ln_anchor_kf,
+            ln_anchor_suv, ln_anchor_euv, ln_anchor_sf, ln_anchor_ef,
+            ln_anchor_level, kf_R, kf_t, R_cur, t_cur)
+        res_s2 = _refine(kf_pyr_stack, cur_pyr, ri_s2, fx, fy, cx, cy,
+                         patch_size=patch_size)
+        res_e2 = _refine(kf_pyr_stack, cur_pyr, ri_e2, fx, fy, cx, cy,
+                         patch_size=patch_size)
+        lm = jnp.concatenate([lm, lm2])
+        sel = jnp.concatenate([sel, sel2])
+        res_s = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                             res_s, res_s2)
+        res_e = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                             res_e, res_e2)
     both = res_s.ok & res_e.ok & sel
     return ReprojSegResult(
         lm_idx=lm, selected=sel, s_uv=res_s.uv, e_uv=res_e.uv,
@@ -322,7 +433,7 @@ def reproject_segments(
 
 @partial(jax.jit, static_argnames=(
     "cell_size", "cell_size_segs", "max_pts_out", "max_segs_out",
-    "patch_size", "has_edgelets"))
+    "patch_size", "has_edgelets", "retry"))
 def reproject_combined(
     pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
     pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
@@ -340,18 +451,23 @@ def reproject_combined(
     has_edgelets: bool = False,
     pt_anchor_type=None,
     pt_anchor_dir=None,
+    retry: bool = True,
 ):
     """Points + both segment endpoints refined in ONE find_match_direct
     batch (the pipeline hot path): three warp/align2d kernel chains fold
-    into one over M = max_pts_out + 2*max_segs_out rows."""
+    into one over M = max_pts_out + 2*max_segs_out rows. With retry, ONE
+    additional quarter-width batch refines per-cell runner-ups wherever the
+    first candidate failed (reference: reprojector.cpp:236-276), appended
+    as extra result rows (the failed first attempts keep feeding the
+    quality counters)."""
     img_shape = cur_pyr[0].shape
-    lm_p, sel_p, ri_p = _select_points(
+    lm_p, sel_p, ri_p, rinfo_p = _select_points(
         pt_pos, pt_status, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
         pt_anchor_level, pt_obs_kf, pt_obs_uv, pt_obs_f, pt_obs_level,
         kf_R, kf_t, img_shape, R_cur, t_cur, fx, fy, cx, cy,
         cell_size=cell_size, max_out=max_pts_out, patch_size=patch_size,
         pt_anchor_type=pt_anchor_type, pt_anchor_dir=pt_anchor_dir)
-    lm_s, sel_s, ri_s, ri_e = _select_segments(
+    lm_s, sel_s, ri_s, ri_e, rinfo_s = _select_segments(
         ln_spos, ln_epos, ln_status, ln_anchor_kf, ln_anchor_suv,
         ln_anchor_euv, ln_anchor_sf, ln_anchor_ef, ln_anchor_level,
         kf_R, kf_t, img_shape, R_cur, t_cur, fx, fy, cx, cy,
@@ -365,6 +481,39 @@ def reproject_combined(
     r_p = jax.tree.map(lambda a: a[:M], res)
     r_s = jax.tree.map(lambda a: a[M:M + G], res)
     r_e = jax.tree.map(lambda a: a[M + G:], res)
+
+    if retry:
+        Mr = max(max_pts_out // 4, 8)
+        Gr = max(max_segs_out // 4, 8)
+        lm_p2, sel_p2 = _retry_rows(rinfo_p, sel_p & ~r_p.ok, Mr)
+        uv_p2, _ = _project_uv(pt_pos[lm_p2], R_cur, t_cur, fx, fy, cx, cy)
+        ri_p2 = _point_anchor_inputs(
+            lm_p2, sel_p2, uv_p2, pt_pos, pt_obs_kf, pt_obs_uv, pt_obs_f,
+            pt_obs_level, pt_anchor_kf, pt_anchor_uv, pt_anchor_f,
+            pt_anchor_level, kf_R, kf_t, R_cur, t_cur,
+            pt_anchor_type, pt_anchor_dir)
+        lm_s2, sel_s2 = _retry_rows(rinfo_s, sel_s & ~(r_s.ok & r_e.ok), Gr)
+        suv2, _ = _project_uv(ln_spos[lm_s2], R_cur, t_cur, fx, fy, cx, cy)
+        euv2, _ = _project_uv(ln_epos[lm_s2], R_cur, t_cur, fx, fy, cx, cy)
+        ri_s2, ri_e2 = _segment_anchor_inputs(
+            lm_s2, sel_s2, suv2, euv2, ln_spos, ln_epos, ln_anchor_kf,
+            ln_anchor_suv, ln_anchor_euv, ln_anchor_sf, ln_anchor_ef,
+            ln_anchor_level, kf_R, kf_t, R_cur, t_cur)
+        ri2 = jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                           ri_p2, ri_s2, ri_e2)
+        res2 = _refine(kf_pyr_stack, cur_pyr, ri2, fx, fy, cx, cy,
+                       patch_size=patch_size, has_edgelets=has_edgelets)
+        r_p2 = jax.tree.map(lambda a: a[:Mr], res2)
+        r_s2 = jax.tree.map(lambda a: a[Mr:Mr + Gr], res2)
+        r_e2 = jax.tree.map(lambda a: a[Mr + Gr:], res2)
+        cat = lambda a, b: jnp.concatenate([a, b])
+        lm_p = cat(lm_p, lm_p2)
+        sel_p = cat(sel_p, sel_p2)
+        r_p = jax.tree.map(cat, r_p, r_p2)
+        lm_s = cat(lm_s, lm_s2)
+        sel_s = cat(sel_s, sel_s2)
+        r_s = jax.tree.map(cat, r_s, r_s2)
+        r_e = jax.tree.map(cat, r_e, r_e2)
 
     pt_res = ReprojResult(
         lm_idx=lm_p, selected=sel_p, uv=r_p.uv, level=r_p.level,

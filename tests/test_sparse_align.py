@@ -178,10 +178,15 @@ def test_align_segments_only(rng):
         levels=(2,), n_iter=40)
     err0 = reproj_err_px(np.eye(3), np.zeros(3), Rg, tg, np.asarray(segs.xyz_ref))
     err = reproj_err_px(res.R, res.t, Rg, tg, np.asarray(segs.xyz_ref))
-    # single-level (level 2) alignment: 0.5 level-0 px = 0.125 level-2 px,
-    # the photometric noise floor for this detector's segment set (the
-    # full-pyramid variant below verifies ~0.1 level-0 px)
-    assert err < 0.5, f"reprojection error {err}px (initial {err0}px)"
+    # single-level (level 2) alignment noise floor. With length-adaptive
+    # sampling (setupSampling parity) short segments carry 2-4 samples at
+    # level 2 instead of the former fixed 6, raising this line-ONLY
+    # single-level stress floor from ~0.50 to ~0.68 level-0 px (measured;
+    # forcing n_act=K reproduces 0.497) while the e2e golden ATE with
+    # points+lines IMPROVES (test_pipeline_ate). The reference samples even
+    # sparser (len/(2*patch*corr), feature.cpp:160-173). Full-pyramid
+    # precision is asserted separately at ~0.1 px below.
+    assert err < 0.75, f"reprojection error {err}px (initial {err0}px)"
     assert err < 0.5 * err0
 
 
