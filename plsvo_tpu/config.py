@@ -136,7 +136,7 @@ class PipelineConfig:
     # the next drain window (the reference's asynchronous mapping thread
     # has the same lag).
     loba_enabled: bool = True
-    loba_num_iter: int = 5
+    loba_num_iter: int = 3
     # quadratic prior anchoring free poses to their tracked input estimates
     # inside localBA (pins the near-flat monocular manifold on planar /
     # short-baseline windows; measured ATE 0.0039 with vs 0.0144 without

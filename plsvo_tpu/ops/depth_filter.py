@@ -471,6 +471,69 @@ def update_line_seeds_bucketed(
     return new_full, res
 
 
+@partial(jax.jit, static_argnames=("B",))
+def scatter_new_point_seeds_blob(full: "PointSeeds", blob: jnp.ndarray,
+                                 *, B: int) -> "PointSeeds":
+    """scatter_new_point_seeds with ALL inputs in ONE packed f32 upload.
+
+    The unpacked variant paid ~7 separate host->device transfers per call
+    (~0.8 ms tunnel launch latency EACH); keyframes in the batched runner
+    make this per-sequence. Blob layout (f32, built by
+    FrameHandlerMono._complete_seed_init): rows(B) mask(B) kf(B) uv(B,2)
+    f(B,3) level(B) mu sigma2 z_range batch_id."""
+    o = 0
+
+    def take(n):
+        nonlocal o
+        a = jax.lax.dynamic_slice_in_dim(blob, o, n)
+        o += n
+        return a
+
+    rows = take(B).astype(jnp.int32)
+    mask = take(B) > 0.5
+    kf_idx = take(B).astype(jnp.int32)
+    uv = take(2 * B).reshape(B, 2)
+    f = take(3 * B).reshape(B, 3)
+    level = take(B).astype(jnp.int32)
+    mu = take(1)[0]
+    sigma2 = take(1)[0]
+    z_range = take(1)[0]
+    batch_id = take(1)[0].astype(jnp.int32)
+    return scatter_new_point_seeds(full, rows, mask, kf_idx, uv, f, level,
+                                   mu, sigma2, z_range, batch_id)
+
+
+@partial(jax.jit, static_argnames=("B",))
+def scatter_new_line_seeds_blob(full: "LineSeeds", blob: jnp.ndarray,
+                                *, B: int) -> "LineSeeds":
+    """One-upload variant of scatter_new_line_seeds. Blob layout:
+    rows(B) mask(B) kf(B) s_uv(B,2) e_uv(B,2) sf(B,3) ef(B,3) level(B)
+    mu sigma2 z_range batch_id."""
+    o = 0
+
+    def take(n):
+        nonlocal o
+        a = jax.lax.dynamic_slice_in_dim(blob, o, n)
+        o += n
+        return a
+
+    rows = take(B).astype(jnp.int32)
+    mask = take(B) > 0.5
+    kf_idx = take(B).astype(jnp.int32)
+    s_uv = take(2 * B).reshape(B, 2)
+    e_uv = take(2 * B).reshape(B, 2)
+    sf = take(3 * B).reshape(B, 3)
+    ef = take(3 * B).reshape(B, 3)
+    level = take(B).astype(jnp.int32)
+    mu = take(1)[0]
+    sigma2 = take(1)[0]
+    z_range = take(1)[0]
+    batch_id = take(1)[0].astype(jnp.int32)
+    return scatter_new_line_seeds(full, rows, mask, kf_idx, s_uv, e_uv,
+                                  sf, ef, level, mu, sigma2, z_range,
+                                  batch_id)
+
+
 @jax.jit
 def scatter_new_point_seeds(
     full: PointSeeds,

@@ -318,7 +318,7 @@ def _pose_prior_terms(p: BAProblem, prob0: BAProblem, pose_prior: float):
     return pose_prior, -pose_prior * xi.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("n_iter", "pose_prior"))
+@partial(jax.jit, static_argnames=("n_iter", "pose_prior", "accept_gate"))
 def bundle_adjust(
     prob: BAProblem,
     *,
@@ -327,8 +327,16 @@ def bundle_adjust(
     damping: float = 1e-4,
     lm_damp: float = 1e-8,
     pose_prior: float = 0.0,
+    accept_gate: bool = True,
 ):
-    """Single-device GN-with-damping BA. Returns (problem, stats)."""
+    """Single-device GN-with-damping BA. Returns (problem, stats).
+
+    accept_gate=False drops the chi2 rollback check, HALVING the per-
+    iteration assembly count (the dominant cost of the per-keyframe
+    windowed localBA on the VO hot path): with the pose prior + damped
+    landmark blocks the steps are conservative, and the e2e golden-ATE
+    tests bound the behavior. The final chi2/n_obs stats still require one
+    closing assembly."""
     K = prob.kf_R.shape[0]
 
     def body(carry, _):
@@ -340,6 +348,8 @@ def bundle_adjust(
             b = b + b_add
         dc = _precond_solve(S, b, damping, p.kf_fixed)
         p_new = _apply_updates(p, dc, Hpp_inv, b_p, W)
+        if not accept_gate:
+            return (p_new, chi2), chi2
         # keep the update only if chi2 did not blow up
         _, _, _, _, _, chi2_new, _ = _assemble_shard(p_new, huber, lm_damp)
         accept = chi2_new <= chi2 * 1.001
@@ -489,6 +499,64 @@ def problem_from_map(map_state, cfg) -> BAProblem:
         lm_dir=jnp.asarray(lm_dir, jnp.float32)), meta
 
 
+def problem_blob(prob: BAProblem):
+    """Pack a (host-built) BAProblem into ONE flat f32 upload + static
+    shape spec for bundle_adjust_blob: the 10-leaf pytree otherwise costs
+    ~10 separate host->device transfers (~0.8 ms launch latency each over
+    the remote tunnel) per keyframe on the localBA hot path. Integer
+    leaves ride as f32 (all < 2^24); bools as 0/1."""
+    import numpy as np
+
+    leaves = [prob.kf_R, prob.kf_t, prob.kf_fixed, prob.lm_pos,
+              prob.lm_valid, prob.obs_kf, prob.obs_f, prob.obs_valid]
+    has_line = prob.obs_line is not None
+    if has_line:
+        leaves += [prob.obs_line, prob.lm_dir]
+    blob = np.concatenate([np.asarray(a, np.float32).ravel()
+                           for a in leaves])
+    K = np.asarray(prob.kf_R).shape[0]
+    L, O = np.asarray(prob.obs_kf).shape
+    return blob, (K, L, O, has_line)
+
+
+def _problem_from_blob(blob, spec) -> BAProblem:
+    """Unpack (inside jit) the problem_blob layout."""
+    K, L, O, has_line = spec
+    sizes = [K * 9, K * 3, K, L * 3, L, L * O, L * O * 3, L * O]
+    shapes = [(K, 3, 3), (K, 3), (K,), (L, 3), (L,), (L, O), (L, O, 3),
+              (L, O)]
+    if has_line:
+        sizes += [L * O * 3, L * 3]
+        shapes += [(L, O, 3), (L, 3)]
+    parts = []
+    off = 0
+    for n, shp in zip(sizes, shapes):
+        parts.append(jax.lax.dynamic_slice_in_dim(blob, off, n).reshape(shp))
+        off += n
+    (kf_R, kf_t, kf_fixed, lm_pos, lm_valid, obs_kf, obs_f,
+     obs_valid) = parts[:8]
+    obs_line = parts[8] if has_line else None
+    lm_dir = parts[9] if has_line else None
+    return BAProblem(
+        kf_R=kf_R, kf_t=kf_t, kf_fixed=kf_fixed > 0.5,
+        lm_pos=lm_pos, lm_valid=lm_valid > 0.5,
+        obs_kf=obs_kf.astype(jnp.int32), obs_f=obs_f,
+        obs_valid=obs_valid > 0.5, obs_line=obs_line, lm_dir=lm_dir)
+
+
+@partial(jax.jit, static_argnames=("spec", "n_iter", "pose_prior",
+                                  "accept_gate"))
+def bundle_adjust_blob(blob, *, spec, n_iter: int = 10,
+                       huber: float = 1.0 / 250.0, damping: float = 1e-4,
+                       lm_damp: float = 1e-8, pose_prior: float = 0.0,
+                       accept_gate: bool = True):
+    """bundle_adjust with the problem delivered as ONE packed upload."""
+    prob = _problem_from_blob(blob, spec)
+    return bundle_adjust(prob, n_iter=n_iter, huber=huber, damping=damping,
+                         lm_damp=lm_damp, pose_prior=pose_prior,
+                         accept_gate=accept_gate)
+
+
 def problem_from_window(map_state, cfg, core_slots, pad_bucket: int = 256):
     """Windowed localBA problem (reference intent:
     src/bundle_adjustment.cpp:124-255 `ba::localBA` — core keyframes free,
@@ -577,14 +645,16 @@ def problem_from_window(map_state, cfg, core_slots, pad_bucket: int = 256):
         "pt_anchor": m.pt_anchor_kf[P_rows].copy(),
         "ln_anchor": m.ln_anchor_kf[L_rows].copy(),
     }
+    # HOST (numpy) leaves: the localBA dispatcher packs them into ONE
+    # upload (problem_blob); jit call sites auto-convert per leaf
     return BAProblem(
-        kf_R=jnp.asarray(m.kf_R), kf_t=jnp.asarray(m.kf_t),
-        kf_fixed=jnp.asarray(fixed),
-        lm_pos=jnp.asarray(pos), lm_valid=jnp.asarray(valid),
-        obs_kf=jnp.asarray(obs_kf), obs_f=jnp.asarray(obs_f),
-        obs_valid=jnp.asarray(ov & valid[:, None]),
-        obs_line=jnp.asarray(obs_line),
-        lm_dir=jnp.asarray(lm_dir)), meta
+        kf_R=m.kf_R.copy(), kf_t=m.kf_t.copy(),
+        kf_fixed=fixed,
+        lm_pos=pos, lm_valid=valid,
+        obs_kf=obs_kf, obs_f=obs_f,
+        obs_valid=ov & valid[:, None],
+        obs_line=obs_line,
+        lm_dir=lm_dir), meta
 
 
 def write_back_window(map_state, kf_R, kf_t, lm_pos, meta):

@@ -223,10 +223,9 @@ class FrameHandlerMono:
             # feature_detection.cpp:155-179; default n_pyr_levels_segs=1 =
             # full-res only, config.cpp:89). The tiled pass recovers the
             # short/medium segments a single global Hough buries.
-            W, H = self.cam.width, self.cam.height
-            # reference length gate: lsd_min_length * H*W/(H+W)
-            # (feature_detection.cpp:154) — ~44 px at 752x480
-            min_len = pl.lsd_min_length * (W * H) / (W + H)
+            # NOTE: returns the RAW candidate table — the greedy grid dedup
+            # runs on HOST after the fetch (_dedup_segments_host): as a
+            # lax.scan it cost ~2 ms of device time per keyframe.
             parts = []
             for lvl in range(pl.n_pyr_levels_segs):
                 det = line_ops.detect_segments_tiled(
@@ -236,12 +235,20 @@ class FrameHandlerMono:
                     det = det._replace(sp=det.sp * s, ep=det.ep * s,
                                        length=det.length * s)
                 parts.append(det)
-            det = (parts[0] if len(parts) == 1 else line_ops.SegmentTable(
+            segs = (parts[0] if len(parts) == 1 else line_ops.SegmentTable(
                 *[jnp.concatenate(xs) for xs in zip(*parts)]))
-            segs, _ = line_ops.dedup_segments_grid(
-                det, width=W, height=H, cell_size=pl.grid_size_segs,
-                max_segs=self.cfg.caps.max_segs, min_length=min_len)
         return grid, segs, egrid
+
+    def _dedup_segments_host(self, det) -> "line_ops.SegmentTable":
+        """Grid dedup of a FETCHED raw candidate table (numpy)."""
+        pl = self.cfg.pipeline
+        W, H = self.cam.width, self.cam.height
+        # reference length gate: lsd_min_length * H*W/(H+W)
+        # (feature_detection.cpp:154) — ~44 px at 752x480
+        min_len = pl.lsd_min_length * (W * H) / (W + H)
+        return line_ops.dedup_segments_grid_np(
+            det, width=W, height=H, cell_size=pl.grid_size_segs,
+            max_segs=self.cfg.caps.max_segs, min_length=min_len)
 
     def _process_first(self, pyr, ts) -> FrameResult:
         frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
@@ -254,6 +261,7 @@ class FrameHandlerMono:
         valid = np.asarray(grid.valid)
         klt_targets = [uv[valid]]
         if segs is not None:
+            segs = self._dedup_segments_host(segs)
             sv = np.asarray(segs.valid)
             sp, ep = np.asarray(segs.sp)[sv], np.asarray(segs.ep)[sv]
             # each segment contributes KLT targets sampled along it
@@ -833,17 +841,17 @@ class FrameHandlerMono:
         within kfselect_mindist_t AND kfselect_mindist_r."""
         pl = self.cfg.pipeline
         Rf, tf = frame.R_f_w, frame.t_f_w
-        for k in np.where(self.map.kf_occupied)[0]:
-            # delta = T_frame^-1 * T_kf (numpy, no device round-trips)
-            Rk, tk = self.map.kf_R[k], self.map.kf_t[k]
-            R_rel = Rf.T @ Rk
-            t_rel = Rf.T @ (tk - tf)
-            dt = float(np.linalg.norm(t_rel))
-            cosang = np.clip((np.trace(R_rel) - 1.0) * 0.5, -1.0, 1.0)
-            dr = float(np.degrees(np.arccos(cosang)))
-            if dt < pl.kfselect_mindist_t and dr < pl.kfselect_mindist_r:
-                return False
-        return True
+        occ = np.where(self.map.kf_occupied)[0]
+        if len(occ) == 0:
+            return True
+        # delta = T_frame^-1 * T_kf for all keyframes at once
+        tk = self.map.kf_t[occ]
+        dt = np.linalg.norm((tk - tf) @ Rf, axis=1)  # |Rf^T (tk - tf)|
+        tr = np.einsum("ij,kij->k", Rf, self.map.kf_R[occ])  # trace(Rf^T Rk)
+        cosang = np.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+        dr = np.degrees(np.arccos(cosang))
+        return not bool(np.any((dt < pl.kfselect_mindist_t)
+                               & (dr < pl.kfselect_mindist_r)))
 
     def _make_keyframe(self, frame: FrameState, d_mean, d_min):
         """Keyframe path (frame_handler_mono.cpp:358-402): promote candidate
@@ -913,9 +921,12 @@ class FrameHandlerMono:
         prob, meta = ba_mod.problem_from_window(m, self.cfg, sorted(core))
         if meta["n_points"] + meta["n_lines"] == 0:
             return
-        out, _stats = ba_mod.bundle_adjust(
-            prob, n_iter=self.cfg.pipeline.loba_num_iter,
-            pose_prior=self.cfg.pipeline.loba_pose_prior)
+        blob, spec = ba_mod.problem_blob(prob)
+        out, _stats = ba_mod.bundle_adjust_blob(
+            jnp.asarray(blob), spec=spec,
+            n_iter=self.cfg.pipeline.loba_num_iter,
+            pose_prior=self.cfg.pipeline.loba_pose_prior,
+            accept_gate=False)
         handles = (out.kf_R, out.kf_t, out.lm_pos)
         defer = (self.cfg.pipeline.pipelined and not self._force_sync) \
             or self._defer_seed_init
@@ -1004,6 +1015,10 @@ class FrameHandlerMono:
         scatter, from fetched detection results. Cells that the FAST grid
         leaves empty spawn EDGELET seeds (dominant-gradient features,
         refined by align1D downstream) when use_edgelets is on."""
+        if segs is not None:
+            # raw candidate table -> grid dedup on host (see
+            # _detect_features)
+            segs = self._dedup_segments_host(segs)
         valid = grid.valid & ~occupied
         uv = grid.uv[valid]
         lvl = grid.level[valid]
@@ -1034,18 +1049,24 @@ class FrameHandlerMono:
             sh["dir"][free] = gdir[:k]
             self._seed_alive[free] = True
             B = self._bucket(k, self.cfg.caps.max_seeds)
-            rows = np.zeros(B, np.int32)
+            rows = np.zeros(B, np.float32)
             rows[:k] = free
-            mask = np.zeros(B, bool)
-            mask[:k] = True
-            pad = np.zeros((B - k,), np.int64)
-            pt_tab = df.scatter_new_point_seeds(
-                pt_tab, jnp.asarray(rows), jnp.asarray(mask),
-                jnp.asarray(np.full(B, kf_slot, np.int32)),
-                jnp.asarray(np.concatenate([uv[:k], np.zeros((B - k, 2), np.float32)])),
-                jnp.asarray(np.concatenate([f[:k], np.zeros((B - k, 3), np.float32)])),
-                jnp.asarray(np.concatenate([lvl[:k], pad]).astype(np.int32)),
-                mu, sigma2, z_range, self.batch_counter)
+            mask = np.zeros(B, np.float32)
+            mask[:k] = 1.0
+            uvp = np.zeros((B, 2), np.float32)
+            uvp[:k] = uv[:k]
+            fp = np.zeros((B, 3), np.float32)
+            fp[:k] = f[:k]
+            lv = np.zeros(B, np.float32)
+            lv[:k] = lvl[:k]
+            # ONE packed upload (layout: scatter_new_point_seeds_blob)
+            blob = np.concatenate([
+                rows, mask, np.full(B, kf_slot, np.float32),
+                uvp.ravel(), fp.ravel(), lv,
+                np.asarray([mu, sigma2, z_range,
+                            self.batch_counter], np.float32)])
+            pt_tab = df.scatter_new_point_seeds_blob(
+                pt_tab, jnp.asarray(blob), B=B)
 
         if segs is not None and self.cfg.pipeline.has_ls:
             sv = segs.valid
@@ -1065,21 +1086,23 @@ class FrameHandlerMono:
                 lh["level"][lfree] = 0
                 self._lnseed_alive[lfree] = True
                 B = self._bucket(k, self.cfg.caps.max_seed_segs)
-                rows = np.zeros(B, np.int32)
+                rows = np.zeros(B, np.float32)
                 rows[:k] = lfree
-                mask = np.zeros(B, bool)
-                mask[:k] = True
+                mask = np.zeros(B, np.float32)
+                mask[:k] = 1.0
                 z2 = np.zeros((B - k, 2), np.float32)
                 z3 = np.zeros((B - k, 3), np.float32)
-                ln_tab = df.scatter_new_line_seeds(
-                    ln_tab, jnp.asarray(rows), jnp.asarray(mask),
-                    jnp.asarray(np.full(B, kf_slot, np.int32)),
-                    jnp.asarray(np.concatenate([sp[:k], z2])),
-                    jnp.asarray(np.concatenate([ep[:k], z2])),
-                    jnp.asarray(np.concatenate([sf, z3])),
-                    jnp.asarray(np.concatenate([ef, z3])),
-                    jnp.asarray(np.zeros(B, np.int32)),
-                    mu, sigma2, z_range, self.batch_counter)
+                blob = np.concatenate([
+                    rows, mask, np.full(B, kf_slot, np.float32),
+                    np.concatenate([sp[:k], z2]).ravel(),
+                    np.concatenate([ep[:k], z2]).ravel(),
+                    np.concatenate([sf, z3]).ravel(),
+                    np.concatenate([ef, z3]).ravel(),
+                    np.zeros(B, np.float32),
+                    np.asarray([mu, sigma2, z_range,
+                                self.batch_counter], np.float32)])
+                ln_tab = df.scatter_new_line_seeds_blob(
+                    ln_tab, jnp.asarray(blob), B=B)
                 self._any_line_seeds = True
         self._set_seed_tables(pt_tab, ln_tab)
 

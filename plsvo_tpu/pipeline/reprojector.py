@@ -359,8 +359,8 @@ def reproject_points(
         # second round over cells whose winner failed: runner-up candidate
         # (reference: reprojector.cpp:236-276), appended as EXTRA result
         # rows so the first candidate's failure still reaches the quality
-        # counters. Fixed width max_out//4 — one program variant.
-        Mr = max(max_out // 4, 8)
+        # counters. Fixed width max_out//8 — one program variant.
+        Mr = max(max_out // 8, 8)
         lm2, sel2 = _retry_rows(rinfo, sel & ~res.ok, Mr)
         uv2, _ = _project_uv(pt_pos[lm2], R_cur, t_cur, fx, fy, cx, cy)
         ri2 = _point_anchor_inputs(
@@ -404,7 +404,7 @@ def reproject_segments(
     res_e = _refine(kf_pyr_stack, cur_pyr, ri_e, fx, fy, cx, cy,
                     patch_size=patch_size)
     if retry:
-        Gr = max(max_out // 4, 8)
+        Gr = max(max_out // 8, 8)
         failed = sel & ~(res_s.ok & res_e.ok)
         lm2, sel2 = _retry_rows(rinfo, failed, Gr)
         suv2, _ = _project_uv(ln_spos[lm2], R_cur, t_cur, fx, fy, cx, cy)
@@ -483,8 +483,8 @@ def reproject_combined(
     r_e = jax.tree.map(lambda a: a[M + G:], res)
 
     if retry:
-        Mr = max(max_pts_out // 4, 8)
-        Gr = max(max_segs_out // 4, 8)
+        Mr = max(max_pts_out // 8, 8)
+        Gr = max(max_segs_out // 8, 8)
         lm_p2, sel_p2 = _retry_rows(rinfo_p, sel_p & ~r_p.ok, Mr)
         uv_p2, _ = _project_uv(pt_pos[lm_p2], R_cur, t_cur, fx, fy, cx, cy)
         ri_p2 = _point_anchor_inputs(

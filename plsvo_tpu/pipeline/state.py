@@ -551,22 +551,25 @@ class MapState:
 
     def scene_depth(self, frame: FrameState):
         """Median + min depth of the frame's landmark observations
-        (reference: frame_utils::getSceneDepth, frame.cpp:182-217)."""
-        depths = []
+        (reference: frame_utils::getSceneDepth, frame.cpp:182-217).
+        Vectorized: the per-landmark Python loop cost ~0.5-1 ms per frame
+        on the wall-clock hot path."""
         R, t = frame.R_f_w, frame.t_f_w
-        for i in np.where(frame.pt_valid & (frame.pt_lm >= 0))[0]:
-            z = (R @ self.pt_pos[frame.pt_lm[i]] + t)[2]
-            if z > 0:
-                depths.append(z)
-        for i in np.where(frame.seg_valid & (frame.seg_lm >= 0))[0]:
-            lm = frame.seg_lm[i]
-            for pos in (self.ln_spos[lm], self.ln_epos[lm]):
-                z = (R @ pos + t)[2]
-                if z > 0:
-                    depths.append(z)
-        if not depths:
+        Rz, tz = R[2], t[2]  # only the z row is needed
+        parts = []
+        pv = frame.pt_valid & (frame.pt_lm >= 0)
+        if pv.any():
+            z = self.pt_pos[frame.pt_lm[pv]] @ Rz + tz
+            parts.append(z[z > 0])
+        sv = frame.seg_valid & (frame.seg_lm >= 0)
+        if sv.any():
+            lm = frame.seg_lm[sv]
+            for tbl in (self.ln_spos, self.ln_epos):
+                z = tbl[lm] @ Rz + tz
+                parts.append(z[z > 0])
+        d = np.concatenate(parts) if parts else np.zeros(0)
+        if len(d) == 0:
             return None, None
-        d = np.asarray(depths)
         return float(np.median(d)), float(d.min())
 
     def transform(self, R: np.ndarray, t: np.ndarray, s: float):

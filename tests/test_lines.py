@@ -168,3 +168,27 @@ def test_detector_vs_lsd_real_photo():
     assert rec >= 0.7, (rec, ep, len(ours), len(lsd))
     assert ep <= 15.0, (rec, ep)
     assert len(ours) >= len(lsd)
+
+
+def test_dedup_np_matches_device(rng):
+    """The host (numpy) dedup used on fetched raw candidate tables must
+    accept exactly the same segments as the jitted device dedup."""
+    import jax.numpy as jnp
+
+    S = 80
+    sp = rng.uniform(5, 300, (S, 2)).astype(np.float32)
+    ep = sp + rng.uniform(-80, 80, (S, 2)).astype(np.float32)
+    length = np.linalg.norm(ep - sp, axis=-1).astype(np.float32)
+    tab = lines.SegmentTable(
+        sp=jnp.asarray(sp), ep=jnp.asarray(ep), length=jnp.asarray(length),
+        angle=jnp.zeros(S, jnp.float32), response=jnp.asarray(length),
+        valid=jnp.asarray(rng.random(S) > 0.2))
+    kw = dict(width=320, height=240, cell_size=25, max_segs=24,
+              min_length=20.0)
+    dev, _ = lines.dedup_segments_grid(tab, **kw)
+    hst = lines.dedup_segments_grid_np(tab, **kw)
+    nd = int(np.asarray(dev.valid).sum())
+    nh = int(hst.valid.sum())
+    assert nd == nh, (nd, nh)
+    np.testing.assert_allclose(np.asarray(dev.sp)[: nd], hst.sp[: nh])
+    np.testing.assert_allclose(np.asarray(dev.ep)[: nd], hst.ep[: nh])
