@@ -125,6 +125,13 @@ class PipelineConfig:
     # (reference's bounded mapping queue drops under load,
     # depth_filter.cpp:116-131). 0 = search every seed.
     seed_search_budget: int = 128
+    # device-side WORK-SET budget: at most this many point seeds run the
+    # expensive warp/search/align chain per frame (highest priority first,
+    # short bands before long, failure-rotated — ops/depth_filter.py
+    # update_seeds_combined). 0 = all live seeds. The warp gather and the
+    # align GN loop scale with processed rows; mid-sequence live counts
+    # (~400+) far exceed the useful per-frame work set.
+    seed_work_budget: int = 256
 
     # windowed local bundle adjustment at keyframes (C16). The reference
     # intends this (#ifdef USE_BUNDLE_ADJUSTMENT ba::localBA,
@@ -217,6 +224,9 @@ def fast_config() -> Config:
     return Config(
         pipeline=PipelineConfig(
             init_min_fts=50, init_min_tracked=30, init_min_disparity=25.0,
+            # below the seed capacity so the CPU e2e tests exercise the
+            # device-side work-set compaction path
+            seed_work_budget=192,
         ),
         caps=CapacityConfig(
             max_fts=128, max_segs=32, max_kfs=8, max_points=1024,

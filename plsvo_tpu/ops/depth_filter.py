@@ -687,9 +687,62 @@ def _combine_line_endpoint_results(
         skipped=rs.skipped | re_.skipped)
 
 
+def _seed_work_priority(seeds: PointSeeds, kf_R_w, kf_t_w, img_shape,
+                        max_level, R_w_cur, t_w_cur, fx, fy, cx, cy,
+                        batch_counter, *, patch_size, n_epi_steps,
+                        max_seed_kfs):
+    """Cheap (elementwise) work priority per seed for the device-side
+    work-set compaction: visible seeds rank by epipolar-band class —
+    short-band seeds (direct align, the reference's matcher.cpp:325-345
+    path) above long-band ones, both rotated by accumulated failures so no
+    seed starves (same fail_w policy as the search budget). <= 0 means the
+    row does no useful work this frame."""
+    f32 = jnp.float32
+    alive = seeds.alive & ((batch_counter - seeds.batch_id) <= max_seed_kfs)
+    R_kf = kf_R_w[seeds.kf_idx]
+    t_kf = kf_t_w[seeds.kf_idx]
+    R_cw, t_cw = lie.inverse(R_w_cur, t_w_cur)
+    R_cr = jnp.einsum("ij,sjk->sik", R_cw, R_kf)
+    t_cr = jnp.einsum("ij,sj->si", R_cw, t_kf) + t_cw
+    depth = 1.0 / jnp.maximum(seeds.mu, 1e-10)
+    xyz_cur = jnp.einsum("sij,sj->si", R_cr, seeds.f * depth[:, None]) + t_cr
+    z_ok = xyz_cur[:, 2] > 0.1
+    uv_cur = jnp.stack([
+        fx * xyz_cur[:, 0] / jnp.maximum(xyz_cur[:, 2], 1e-6) + cx,
+        fy * xyz_cur[:, 1] / jnp.maximum(xyz_cur[:, 2], 1e-6) + cy], -1)
+    H0, W0 = img_shape
+    margin = patch_size
+    in_frame = ((uv_cur[:, 0] > margin) & (uv_cur[:, 0] < W0 - margin)
+                & (uv_cur[:, 1] > margin) & (uv_cur[:, 1] < H0 - margin))
+    visible = alive & z_ok & in_frame
+    sigma = jnp.sqrt(jnp.maximum(seeds.sigma2, 0.0))
+    d_max = 1.0 / jnp.maximum(seeds.mu - sigma, 1e-7)
+    d_min = 1.0 / (seeds.mu + sigma)
+    xyz_far = jnp.einsum("sij,sj->si", R_cr, seeds.f * d_max[:, None]) + t_cr
+    xyz_near = jnp.einsum("sij,sj->si", R_cr, seeds.f * d_min[:, None]) + t_cr
+
+    def _proj0(xyz):
+        z = jnp.maximum(xyz[:, 2], 1e-6)
+        return jnp.stack([fx * xyz[:, 0] / z + cx,
+                          fy * xyz[:, 1] / z + cy], -1)
+
+    band0 = jnp.linalg.norm(_proj0(xyz_near) - _proj0(xyz_far), axis=-1)
+    # approximate search level by band length alone (the exact level also
+    # folds the affine warp determinant; a selected-but-unsearchable row
+    # just wastes a slot, which is harmless)
+    lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(
+        band0 / n_epi_steps, 1.0))).astype(jnp.int32), 0, max_level)
+    band = band0 / (1 << lvl).astype(f32)
+    is_short = band <= 2.0
+    fail_w = 1.0 + jnp.maximum(seeds.b - 10.0, 0.0)
+    prio = jnp.where(is_short, 1e3 + 1e3 / fail_w, band / fail_w)
+    return jnp.where(visible, prio, -1.0)
+
+
 @partial(jax.jit, static_argnames=("patch_size", "n_epi_steps",
                                    "max_seed_kfs", "sigma_conv_factor",
-                                   "has_pt", "has_ln", "max_search"))
+                                   "has_pt", "has_ln", "max_search",
+                                   "pt_work"))
 def update_seeds_combined(
     pt_seeds,  # PointSeeds view (live prefix) or None
     ln_seeds,  # LineSeeds view or None
@@ -703,6 +756,7 @@ def update_seeds_combined(
     max_seed_kfs: int = 3,
     sigma_conv_factor: float = 200.0,
     max_search: int = 0,
+    pt_work: int = 0,
 ):
     """Point seeds + both line-seed endpoints through ONE epipolar/align
     pipeline: the three per-kind update_point_seeds calls each pay the full
@@ -710,11 +764,31 @@ def update_seeds_combined(
     concatenating the row sets amortizes those fixed costs over one batch
     (the math per row is identical — update_point_seeds is row-wise).
 
+    pt_work > 0: device-side WORK-SET compaction of the point portion —
+    only the pt_work highest-priority point seeds (see _seed_work_priority)
+    run the expensive warp/search/align chain; the rest are carried
+    untouched this frame (aging still applies). The warp gather and the
+    align GN loop scale with processed rows, and mid-sequence live counts
+    (~400+) far exceed the useful per-frame work set.
+
     Returns (SeedUpdateResult | None, LineSeedUpdateResult | None) in the
     same row spaces as the input views."""
     parts = []
+    pt_idx = None
+    Wp_full = 0
     if has_pt:
-        parts.append(pt_seeds)
+        Wp_full = pt_seeds.mu.shape[0]
+        if pt_work and pt_work < Wp_full:
+            prio = _seed_work_priority(
+                pt_seeds, kf_R_w, kf_t_w, cur_pyr[0].shape,
+                len(cur_pyr) - 1, R_w_cur, t_w_cur, fx, fy, cx, cy,
+                batch_counter, patch_size=patch_size,
+                n_epi_steps=n_epi_steps, max_seed_kfs=max_seed_kfs)
+            p_sel, pt_idx = jax.lax.top_k(prio, pt_work)
+            pt_sub = jax.tree.map(lambda a: a[pt_idx], pt_seeds)
+            parts.append(pt_sub)
+        else:
+            parts.append(pt_seeds)
     if has_ln:
         parts.append(_line_endpoint_view(ln_seeds, True))
         parts.append(_line_endpoint_view(ln_seeds, False))
@@ -727,9 +801,35 @@ def update_seeds_combined(
     off = 0
     pt_res = None
     if has_pt:
-        Wp = pt_seeds.mu.shape[0]
-        pt_res = jax.tree.map(lambda a: a[:Wp], res)
-        off = Wp
+        if pt_idx is not None:
+            Wk = pt_work
+            sub_res = jax.tree.map(lambda a: a[:Wk], res)
+            # scatter the worked rows back into the full row space;
+            # unselected rows: carried values + aging, no penalty (like
+            # budget-skipped seeds), not converged/matched this frame
+            aged = (batch_counter - pt_seeds.batch_id) > max_seed_kfs
+            base = pt_seeds._replace(alive=pt_seeds.alive & ~aged)
+            worked = p_sel > 0.0
+            idx_w = jnp.where(worked, pt_idx, Wp_full)  # OOB -> drop
+
+            def scat(full_col, new_col):
+                return full_col.at[idx_w].set(new_col, mode="drop")
+
+            seeds_out = jax.tree.map(scat, base, sub_res.seeds)
+            zb = jnp.zeros(Wp_full, bool)
+            zf = jnp.zeros(Wp_full, jnp.float32)
+            pt_res = SeedUpdateResult(
+                seeds=seeds_out,
+                converged=zb.at[idx_w].set(sub_res.converged, mode="drop"),
+                matched=zb.at[idx_w].set(sub_res.matched, mode="drop"),
+                depth_converged=zf.at[idx_w].set(sub_res.depth_converged,
+                                                 mode="drop"),
+                skipped=zb.at[idx_w].set(sub_res.skipped, mode="drop"))
+            off = Wk
+        else:
+            Wp = pt_seeds.mu.shape[0]
+            pt_res = jax.tree.map(lambda a: a[:Wp], res)
+            off = Wp
     ln_res = None
     if has_ln:
         Wl = ln_seeds.mu_s.shape[0]

@@ -484,6 +484,7 @@ class FrameHandlerMono:
             sigma_conv_factor=pl.seed_convergence_sigma2_thresh,
             seed_search_budget=pl.seed_search_budget,
             n_epi_steps=pl.epi_max_steps,
+            seed_work_budget=pl.seed_work_budget,
             n_pyr_seed=pl.n_pyr_levels,
             pt_width=self._live_width(self._seed_alive, caps.max_seeds, 128),
             ln_width=self._live_width(self._lnseed_alive,

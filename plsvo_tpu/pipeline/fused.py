@@ -502,7 +502,7 @@ def build_next_inputs(res: FusedResult, mt: MapTables,
 
 @partial(jax.jit, static_argnames=(
     "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "seed_search_budget", "n_epi_steps",
+    "seed_search_budget", "n_epi_steps", "seed_work_budget",
     "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
@@ -555,7 +555,7 @@ def track_frame_step(
 
 @partial(jax.jit, static_argnames=(
     "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "seed_search_budget", "n_epi_steps", "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
+    "seed_search_budget", "n_epi_steps", "seed_work_budget", "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
     "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",
@@ -601,6 +601,7 @@ def _track_frame_step_impl(
     ln_width=None,
     seed_search_budget: int = 0,
     n_epi_steps: int = 64,
+    seed_work_budget: int = 0,
     **kw,
 ) -> FullStepResult:
     from plsvo_tpu.ops import depth_filter as df
@@ -623,7 +624,8 @@ def _track_frame_step_impl(
     skw = dict(max_seed_kfs=max_seed_kfs,
                sigma_conv_factor=sigma_conv_factor,
                max_search=seed_search_budget,
-               n_epi_steps=n_epi_steps)
+               n_epi_steps=n_epi_steps,
+               pt_work=seed_work_budget)
 
     # seed tables are processed only up to the live prefix (free slots are
     # allocated lowest-first, so alive rows cluster at the front; the host
@@ -682,7 +684,7 @@ def _track_frame_step_impl(
 @partial(jax.jit, static_argnames=(
     "mesh", "mesh_axis",
     "specs", "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "seed_search_budget", "n_epi_steps",
+    "seed_search_budget", "n_epi_steps", "seed_work_budget",
     "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
@@ -742,7 +744,7 @@ def track_frame_step_list(
 @partial(jax.jit, static_argnames=(
     "mesh", "mesh_axis",
     "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
-    "seed_search_budget", "n_epi_steps", "sigma_conv_factor", "n_pyr_seed", "pt_width", "ln_width",
+    "seed_search_budget", "n_epi_steps", "seed_work_budget", "sigma_conv_factor", "n_pyr_seed", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
     "cell_size_segs", "max_pts_out", "max_segs_out", "n_line_samples",
     "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",

@@ -299,3 +299,71 @@ def test_budget_starvation_observable_and_bounded(rng):
         ever_searched.sum(), v.sum(), skipped_counts)
     assert np.mean(skipped_counts[-3:]) < 0.5 * skipped_counts[0], \
         skipped_counts
+
+
+def test_work_set_compaction_matches_full(rng):
+    """pt_work compaction (update_seeds_combined): worked rows get exactly
+    the full run's row-wise updates; unselected rows are carried untouched
+    (aging still applies)."""
+    scene = synthetic.make_scene(rng, size=1024, texel_size=0.004)
+    R0 = np.eye(3, dtype=np.float32)
+    t0 = np.array([0.0, 0.0, -2.0], np.float32)
+    img0, _ = synthetic.render_aa(scene, CAM, R0, t0)
+    pyr0 = build_pyramid(img0, 4)
+    grid = detection.detect_fast_grid(pyr0, cell_size=20)
+    order = np.argsort(-np.asarray(grid.score))[:64]
+    uv = np.asarray(grid.uv)[order]
+    v = np.asarray(grid.valid)[order]
+    lvl = np.asarray(grid.level)[order]
+    S = len(uv)
+    f = np.asarray(CAM.unproject(jnp.asarray(uv)))
+    mu, sigma2, z_range = df.seed_init_params(depth_mean=2.2, depth_min=0.9)
+    seeds = df.PointSeeds(
+        kf_idx=jnp.zeros(S, jnp.int32),
+        uv=jnp.asarray(uv, jnp.float32), f=jnp.asarray(f, jnp.float32),
+        level=jnp.asarray(lvl, jnp.int32),
+        mu=jnp.full((S,), mu), sigma2=jnp.full((S,), sigma2),
+        z_range=jnp.full((S,), z_range),
+        a=jnp.full((S,), 10.0),
+        b=jnp.asarray(10.0 + rng.integers(0, 4, S), jnp.float32),
+        batch_id=jnp.zeros(S, jnp.int32), alive=jnp.asarray(v))
+    kf_R = jnp.asarray(R0)[None]
+    kf_t = jnp.asarray(t0)[None]
+    kf_stack = [p[None] for p in pyr0]
+    t1 = t0 + np.asarray([0.06, 0.006, 0.0], np.float32)
+    img1, _ = synthetic.render_aa(scene, CAM, R0, t1)
+    pyr1 = build_pyramid(img1, 4)
+    args = (kf_R, kf_t, kf_stack, pyr1, jnp.asarray(R0), jnp.asarray(t1),
+            CAM.fx, CAM.fy, CAM.cx, CAM.cy, jnp.asarray(0, jnp.int32))
+
+    full, _ = df.update_seeds_combined(seeds, None, *args, has_pt=True,
+                                       has_ln=False)
+    K = 24
+    comp, _ = df.update_seeds_combined(seeds, None, *args, has_pt=True,
+                                       has_ln=False, pt_work=K)
+    prio = df._seed_work_priority(
+        seeds, kf_R, kf_t, pyr1[0].shape, 3, jnp.asarray(R0),
+        jnp.asarray(t1), CAM.fx, CAM.fy, CAM.cx, CAM.cy,
+        jnp.asarray(0, jnp.int32), patch_size=8, n_epi_steps=64,
+        max_seed_kfs=3)
+    sel = np.zeros(S, bool)
+    import jax
+
+    psel, idx = jax.lax.top_k(prio, K)
+    idx = np.asarray(idx)[np.asarray(psel) > 0]
+    sel[idx] = True
+    assert sel.sum() == K  # enough visible seeds to fill the work set
+
+    # worked rows: identical row-wise updates
+    np.testing.assert_allclose(np.asarray(comp.seeds.mu)[sel],
+                               np.asarray(full.seeds.mu)[sel], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(comp.seeds.b)[sel],
+                               np.asarray(full.seeds.b)[sel], rtol=1e-6)
+    assert (np.asarray(comp.matched)[sel]
+            == np.asarray(full.matched)[sel]).all()
+    # unselected rows: untouched this frame
+    np.testing.assert_allclose(np.asarray(comp.seeds.mu)[~sel],
+                               np.asarray(seeds.mu)[~sel])
+    np.testing.assert_allclose(np.asarray(comp.seeds.b)[~sel],
+                               np.asarray(seeds.b)[~sel])
+    assert not np.asarray(comp.matched)[~sel].any()
