@@ -178,16 +178,12 @@ class BatchedVO:
             # B self-contained pipelines; their dispatches interleave on
             # the device queue, and each stream burst-fetches on its own
             # cadence (pipelined cfg) — host syncs amortize across streams.
-            # Host images ship as ONE stacked upload (B per-image uploads
-            # paid ~0.8 ms launch latency each over the tunnel); each vo
-            # receives its device slice.
-            try:
-                stack = np.stack([np.asarray(im) for im in imgs])
-                dev = jnp.asarray(stack)
-                ims = [dev[i] for i in range(len(self.vos))]
-            except Exception:  # ragged/device inputs: pass through
-                ims = imgs
-            return [vo.add_image(ims[i], timestamp)
+            # (A stacked single-upload of all B images was A/B-tested and
+            # measured CATASTROPHICALLY slower, 59 -> 10 agg fps: the
+            # per-stream pyramid then consumes device slices of the stack,
+            # which forces extra device copies / new program variants;
+            # per-image uploads interleave with compute and win.)
+            return [vo.add_image(imgs[i], timestamp)
                     for i, vo in enumerate(self.vos)]
         if self.pipelined:
             return self._add_images_pipelined(imgs, timestamp)
