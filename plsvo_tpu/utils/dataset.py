@@ -157,10 +157,14 @@ def write_synthetic_dataset(out_dir: str, n_frames: int = 60, seed: int = 0,
     from plsvo_tpu.utils import synthetic, trajectory
 
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
-    fx = fy = 460.0
+    # intrinsics + texture statistics scale with resolution so the scene's
+    # texels-per-pixel (and hence detector/tracker behavior) match the
+    # 752x480 @ fx=460 reference configuration at any size
+    fx = fy = 460.0 * width / 752.0
     cam = PinholeCamera.create(width, height, fx, fy, width / 2, height / 2)
     rng = np.random.default_rng(seed)
-    scene = synthetic.make_scene(rng, size=2048, texel_size=0.003)
+    scene = synthetic.make_scene(rng, size=2048,
+                                 texel_size=0.003 * 752.0 / width)
     entries = []
     for i in range(n_frames):
         ang = 0.002 * i

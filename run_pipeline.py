@@ -25,10 +25,17 @@ def main():
     ap.add_argument("--dataset", help="dataset dir containing dataset_params.yaml")
     ap.add_argument("--synthetic", metavar="DIR",
                     help="generate a synthetic dataset into DIR and run on it")
+    ap.add_argument("--width", type=int, default=752,
+                    help="synthetic dataset image width")
+    ap.add_argument("--height", type=int, default=480,
+                    help="synthetic dataset image height")
     ap.add_argument("--n-frames", type=int, default=60)
     ap.add_argument("--offset", type=int, default=0, help="first frame index")
     ap.add_argument("--step", type=int, default=1, help="frame stride")
     ap.add_argument("--expname", default="experiment")
+    ap.add_argument("--config", choices=("default", "fast"), default="default",
+                    help="pipeline config preset: 'fast' scales gates and "
+                         "capacities for small images (~320x240)")
     ap.add_argument("--no-pt", action="store_true", help="disable point features")
     ap.add_argument("--no-ls", action="store_true", help="disable line features")
     ap.add_argument("--local-ba", action="store_true",
@@ -51,7 +58,8 @@ def main():
 
     if args.synthetic:
         print(f"generating synthetic dataset in {args.synthetic}...")
-        ds.write_synthetic_dataset(args.synthetic, n_frames=args.n_frames)
+        ds.write_synthetic_dataset(args.synthetic, n_frames=args.n_frames,
+                                   width=args.width, height=args.height)
         args.dataset = args.synthetic
     if not args.dataset:
         ap.error("need --dataset or --synthetic")
@@ -65,8 +73,13 @@ def main():
         offset=args.offset, step=args.step, limit=args.n_frames)
     print(f"{len(data)} frames, camera {camera.width}x{camera.height}")
 
-    cfg = Config(pipeline=PipelineConfig(
-        has_pt=not args.no_pt, has_ls=not args.no_ls))
+    import dataclasses
+
+    from plsvo_tpu.config import fast_config
+
+    base = fast_config() if args.config == "fast" else Config()
+    cfg = base.replace(pipeline=dataclasses.replace(
+        base.pipeline, has_pt=not args.no_pt, has_ls=not args.no_ls))
     vo = FrameHandlerMono(data.ideal_camera(), cfg)
 
     traj = []
