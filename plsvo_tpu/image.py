@@ -50,6 +50,31 @@ def _build_pyramid_jit(img, n_levels: int):
     return tuple(pyr)
 
 
+class LazyPyr:
+    """List-like view of ONE sequence's pyramid inside a batch-stacked
+    pyramid (levels with a leading batch axis): slices `level[k]` lazily
+    with caching, so per-sequence levels materialize only when actually
+    read (keyframe installs) — never as per-frame eager device ops."""
+
+    def __init__(self, stacked_levels, k: int):
+        self._s = list(stacked_levels)
+        self._k = k
+        self._cache = {}
+
+    def __len__(self):
+        return len(self._s)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self._s)))]
+        if i not in self._cache:
+            self._cache[i] = self._s[i][self._k]
+        return self._cache[i]
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+
 def pack_bilinear(img: jnp.ndarray) -> jnp.ndarray:
     """Pack the 4 bilinear taps of every pixel into the last axis:
     packed[v, u] = [I(v,u), I(v,u+1), I(v+1,u), I(v+1,u+1)].

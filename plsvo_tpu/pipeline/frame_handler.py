@@ -61,6 +61,52 @@ class FrameResult:
     t_f_w: np.ndarray
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=(
+    "use_pt", "use_ls", "use_edgelets", "n_pyr", "n_pyr_segs", "cell_size",
+    "score_threshold", "mag_threshold", "width", "height"))
+def _kf_detect_program(pyr, occ_uv, occ_ok, *, use_pt, use_ls,
+                       use_edgelets, n_pyr, n_pyr_segs, cell_size,
+                       score_threshold, mag_threshold, width, height):
+    """The WHOLE keyframe seed-detection device program (FAST grid +
+    edgelets + tiled line segments + cell occupancy) as ONE dispatch —
+    the separate jitted calls cost ~4 op launches per keyframe, which
+    serialize across B sequences inside the batched drain windows."""
+    if use_pt:
+        grid = detection.detect_fast_grid(
+            pyr[:n_pyr], cell_size=cell_size,
+            score_threshold=score_threshold)
+    else:
+        _, _, n_cells = detection.grid_cells(width, height, cell_size)
+        grid = detection.CornerGrid(
+            uv=jnp.zeros((n_cells, 2), jnp.float32),
+            level=jnp.zeros(n_cells, jnp.int32),
+            score=jnp.zeros(n_cells, jnp.float32),
+            valid=jnp.zeros(n_cells, bool))
+    egrid = None
+    if use_pt and use_edgelets:
+        egrid = detection.detect_edgelets_grid(
+            pyr[0], cell_size=cell_size, mag_threshold=mag_threshold)
+    segs = None
+    if use_ls:
+        parts = []
+        for lvl in range(n_pyr_segs):
+            det = line_ops.detect_segments_tiled(
+                pyr[lvl], n_peaks=64, run_gap_px=3.0, dist_tol=1.2)
+            if lvl:
+                s = float(1 << lvl)
+                det = det._replace(sp=det.sp * s, ep=det.ep * s,
+                                   length=det.length * s)
+            parts.append(det)
+        segs = (parts[0] if len(parts) == 1 else line_ops.SegmentTable(
+            *[jnp.concatenate(xs) for xs in zip(*parts)]))
+    occupied = detection.occupancy_from_positions(
+        occ_uv, occ_ok, width, height, cell_size)
+    return grid, segs, occupied, egrid
+
+
 class FrameHandlerMono:
     """Single-camera pipeline (reference: FrameHandlerMono)."""
 
@@ -114,6 +160,10 @@ class FrameHandlerMono:
         # step updates seeds at capacity); identity mapping by default
         self._pt_rows = np.arange(caps.max_seeds)
         self._ln_rows = np.arange(caps.max_seed_segs)
+        # device-resident MapTables carry (pipelined mode): struct-opt is
+        # applied in-graph, host-initiated map changes ride a per-frame
+        # delta blob — no per-frame table uploads (fused.apply_mt_deltas)
+        self._mt_carry = None
         # pipelined-mode in-flight frames [(FrameState, FullStepResult)]
         # + in-flight fetch windows + finished results awaiting delivery
         # + deferred KF seed inits
@@ -153,23 +203,31 @@ class FrameHandlerMono:
     def add_image(self, img, timestamp: float) -> FrameResult:
         self.permon.new_frame(self.frame_id)
         t_tot = time.perf_counter()
+        pipe = (self.stage == STAGE_DEFAULT and self.cfg.pipeline.pipelined
+                and not self._force_sync)
         with self.permon.timer("pyramid_creation"):
             if isinstance(img, jnp.ndarray):
-                img_dev = img.astype(jnp.float32)  # already device-resident
+                img_dev = img if pipe else img.astype(jnp.float32)
             else:
                 # upload as uint8 when possible (4x less tunnel bandwidth)
                 a = np.asarray(img)
                 if a.dtype != np.uint8 and a.dtype != np.float32:
                     a = a.astype(np.float32)
-                img_dev = jnp.asarray(a).astype(jnp.float32)
-            pyr = build_pyramid(img_dev, self.n_levels)
+                img_dev = jnp.asarray(a)
+                if not pipe:
+                    img_dev = img_dev.astype(jnp.float32)
+            # pipelined DEFAULT frames build their pyramid IN-GRAPH inside
+            # the chained step (one dispatch, one upload); every other
+            # path builds it here
+            pyr = None if pipe else build_pyramid(img_dev, self.n_levels)
         if self.stage == STAGE_FIRST:
             res = self._process_first(pyr, timestamp)
         elif self.stage == STAGE_SECOND:
             res = self._process_second(pyr, timestamp)
         elif self.stage == STAGE_DEFAULT:
             # (pending seed harvest is folded into the fused-core sync)
-            res = self._process_frame(pyr, timestamp)
+            res = (self._process_frame_pipelined(img_dev, timestamp)
+                   if pipe else self._process_frame(pyr, timestamp))
         elif self.stage == STAGE_RELOCALIZING:
             self._harvest_seeds()
             res = self._relocalize(pyr, timestamp)
@@ -411,29 +469,7 @@ class FrameHandlerMono:
         return jnp.asarray(blob)
 
     def _map_tables(self) -> fused.MapTables:
-        m = self.map
-        return fused.MapTables(
-            pt_pos=m.dev("pt_pos"), pt_status=m.dev("pt_status"),
-            pt_anchor_kf=m.dev("pt_anchor_kf"), pt_anchor_uv=m.dev("pt_anchor_uv"),
-            pt_anchor_f=m.dev("pt_anchor_f"),
-            pt_anchor_level=m.dev("pt_anchor_level"),
-            pt_anchor_type=m.dev("pt_anchor_type"),
-            pt_anchor_dir=m.dev("pt_anchor_dir"),
-            pt_obs_kf=m.dev_obs("pt_obs_kf"),
-            pt_obs_uv=m.dev_obs("pt_obs_uv"),
-            pt_obs_f=m.dev_obs("pt_obs_f"),
-            pt_obs_level=m.dev_obs("pt_obs_level"),
-            ln_spos=m.dev("ln_spos"), ln_epos=m.dev("ln_epos"),
-            ln_status=m.dev("ln_status"), ln_anchor_kf=m.dev("ln_anchor_kf"),
-            ln_anchor_suv=m.dev("ln_anchor_suv"),
-            ln_anchor_euv=m.dev("ln_anchor_euv"),
-            ln_anchor_sf=m.dev("ln_anchor_sf"),
-            ln_anchor_ef=m.dev("ln_anchor_ef"),
-            ln_anchor_level=m.dev("ln_anchor_level"),
-            ln_obs_kf=m.dev_obs("ln_obs_kf"),
-            ln_obs_sf=m.dev_obs("ln_obs_sf"),
-            ln_obs_ef=m.dev_obs("ln_obs_ef"),
-            kf_R=m.dev("kf_R"), kf_t=m.dev("kf_t"))
+        return fused.map_tables_from_state(self.map)
 
     def _fused_kwargs(self):
         pl = self.cfg.pipeline
@@ -511,6 +547,9 @@ class FrameHandlerMono:
         # --- ONE device program: align -> reproject -> pose opt ->
         # structure opt -> seed updates; ONE fetch (seed tables stay on
         # device) ---
+        # full (cached/invalidate-refreshed) tables ship each frame in
+        # sync mode — drop the redundant carry-delta queue entries
+        self.map.mt_mark_clean()
         with self.permon.timer("sparse_img_align"):
             step = fused.track_frame_step(
                 *self._step_inputs(pyr), **self._step_kwargs())
@@ -529,22 +568,36 @@ class FrameHandlerMono:
         return self._post_fused(frame, res)
 
     # -- pipelined mode ------------------------------------------------
-    def _process_frame_pipelined(self, pyr, ts) -> Optional[FrameResult]:
+    def _process_frame_pipelined(self, img_or_pyr, ts) \
+            -> Optional[FrameResult]:
         """Dispatch frame i BEFORE fetching earlier frames' results: the
         device is never idle, the ~28 ms/fetch wire latency is amortized
         over pipeline_depth frames, and host bookkeeping overlaps device
         compute. Returns finished results with up to pipeline_depth frames
-        of delay (None while the pipeline fills)."""
-        frame = FrameState.empty(self.cfg, self.frame_id, ts, pyr,
-                                 self.last_frame.R_f_w.copy(),
-                                 self.last_frame.t_f_w.copy())
+        of delay (None while the pipeline fills).
+
+        Chained frames take the RAW device image — the pyramid is built
+        IN-GRAPH by the step and comes back as step.next.pyr, so the only
+        per-frame host->device traffic is one image + one delta blob."""
         kwargs = self._step_kwargs()
         pl = self.cfg.pipeline
         common = (self.map.kf_atlas_flat(pl.n_pyr_levels),)
         fid = jnp.asarray(self.frame_id, jnp.int32)
+        if self.map._mt_overflow and self._pipe_q:
+            # map-wide change (similarity transform): the delta path can't
+            # express it — drain and restart the pipeline with a resync
+            self._initiate_drain(keep=0)
+            while self._fetch_q:
+                self._complete_drains(force=True)
         with self.permon.timer("sparse_img_align"):
             if not self._pipe_q:
-                # pipeline start: host tables of the last finalized frame
+                # pipeline start: host tables of the last finalized frame;
+                # the full map upload IS the carry resync (pending deltas
+                # are already contained in it)
+                pyr = (img_or_pyr if isinstance(img_or_pyr, (list, tuple))
+                       else build_pyramid(img_or_pyr.astype(jnp.float32),
+                                          self.n_levels))
+                self.map.mt_mark_clean()
                 step = fused.track_frame_step(
                     self.last_frame.pyr, pyr, *common,
                     self._last_blob(self.last_frame), self._map_tables(),
@@ -553,15 +606,25 @@ class FrameHandlerMono:
                     self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                     emit_next=True, frame_id=fid, **kwargs)
             else:
-                prev_frame, prev_step = self._pipe_q[-1][:2]
+                prev_step = self._pipe_q[-1][1]
                 kw_t = {k: v for k, v in kwargs.items() if k != "specs"}
                 step = fused.track_frame_step_tables(
-                    prev_frame.pyr, pyr, *common,
-                    prev_step.next, self._map_tables(),
+                    img_or_pyr, *common,
+                    prev_step.next, self._mt_carry,
                     self.pt_seeds, self.ln_seeds,
                     jnp.asarray(self.batch_counter, jnp.int32),
                     self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                    frame_id=fid, **kw_t)
+                    n_levels=self.n_levels, frame_id=fid,
+                    mt_delta=jnp.asarray(self.map.pack_mt_deltas(
+                        fused.MT_DELTA_DP, fused.MT_DELTA_DL,
+                        fused.MT_DELTA_OP, fused.MT_DELTA_OL,
+                        fused.MT_DELTA_NE)),
+                    **kw_t)
+        frame = FrameState.empty(self.cfg, self.frame_id, ts,
+                                 list(step.next.pyr),
+                                 self.last_frame.R_f_w.copy(),
+                                 self.last_frame.t_f_w.copy())
+        self._mt_carry = step.mt
         self.pt_seeds = step.pt_seeds
         self.ln_seeds = step.ln_seeds
         self._pipe_q.append((frame, step))
@@ -699,6 +762,7 @@ class FrameHandlerMono:
         m.pt_status[promote] = ST_GOOD
         if (dead | promote).any():
             m.invalidate("pt_status")
+            m.mark_mt_dirty("pt", np.where(dead | promote)[0])
         if dead.any():
             # drop keyframe-table references to deleted landmarks
             # (reference: Map::safeDeletePoint removes frame refs, map.cpp:82-114)
@@ -734,6 +798,7 @@ class FrameHandlerMono:
             m.ln_status[lprom] = ST_GOOD
             if (ldead | lprom).any():
                 m.invalidate("ln_status")
+                m.mark_mt_dirty("ln", np.where(ldead | lprom)[0])
             if ldead.any():
                 ldead_rows = np.where(ldead)[0]
                 m.kf_seg_lm[np.isin(m.kf_seg_lm, ldead_rows)] = -1
@@ -769,13 +834,20 @@ class FrameHandlerMono:
         frame.t_f_w = res.t_f_w.astype(np.float32)
         frame.cov = res.cov
 
-        # --- structure optimization results (computed in the fused core) ---
+        # --- structure optimization results (computed in the fused core,
+        # and ALREADY applied to the device carry in-graph). The mirror
+        # rows are ALSO marked dirty: a delta for an unrelated host change
+        # (e.g. a promotion) snapshots the whole row from the mirror, and
+        # without re-marking, a snapshot taken BEFORE this fetch would
+        # leave the carry's position permanently behind the mirror's. The
+        # re-send is idempotent (same values) ---
         vsel = res.st_pt_valid
         if vsel.any():
             rows = res.st_pt_lm[vsel]
             m.pt_pos[rows] = res.st_pt_pos[vsel]
             m.pt_last_optim[rows] = frame.frame_id
             m.invalidate("pt_pos")
+            m.mark_mt_dirty("pt", rows)
         lsel = res.st_ln_valid
         if lsel.any():
             rows = res.st_ln_lm[lsel]
@@ -783,6 +855,7 @@ class FrameHandlerMono:
             m.ln_epos[rows] = res.st_ln_epos[lsel]
             m.ln_last_optim[rows] = frame.frame_id
             m.invalidate("ln_spos", "ln_epos")
+            m.mark_mt_dirty("ln", rows)
 
         # --- quality + keyframe decision ---
         quality = self._tracking_quality(n_pt, n_seg)
@@ -991,10 +1064,17 @@ class FrameHandlerMono:
         n_occ = min(len(parts), cap)
         occ_uv[:n_occ] = parts[:n_occ]
         occ_ok[:n_occ] = True
-        occupied = detection.occupancy_from_positions(
-            jnp.asarray(occ_uv), jnp.asarray(occ_ok),
-            self.cam.width, self.cam.height, pl.grid_size)
-        grid_dev, segs_dev, egrid_dev = self._detect_features(frame.pyr)
+        n_pyr = max(pl.n_pyr_levels, pl.n_pyr_levels_segs)
+        grid_dev, segs_dev, occupied, egrid_dev = _kf_detect_program(
+            tuple(frame.pyr[:n_pyr]), jnp.asarray(occ_uv),
+            jnp.asarray(occ_ok),
+            use_pt=pl.has_pt, use_ls=pl.has_ls,
+            use_edgelets=pl.use_edgelets and pl.has_pt,
+            n_pyr=pl.n_pyr_levels, n_pyr_segs=pl.n_pyr_levels_segs,
+            cell_size=pl.grid_size,
+            score_threshold=pl.triang_min_corner_score,
+            mag_threshold=pl.edgelet_grad_thresh,
+            width=self.cam.width, height=self.cam.height)
         return (grid_dev, segs_dev, occupied, egrid_dev)
 
     def _init_seeds(self, frame: FrameState, d_mean, d_min):
@@ -1335,3 +1415,4 @@ class FrameHandlerMono:
         self._ready = []
         self._pending_seed_init = []
         self._pending_ba = []
+        self._mt_carry = None

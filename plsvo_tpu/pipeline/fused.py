@@ -411,6 +411,217 @@ def track_frame_core(
         st_ln_valid=st_ln_valid)
 
 
+# ---------------------------------------------------------------------------
+# Map-table DELTA path: MapTables live on device as a step-to-step CARRY
+# (like the seed tables); host-initiated changes (harvested landmarks,
+# status changes, keyframe installs/evictions, BA write-backs) ship as ONE
+# fixed-width f32 blob per frame and are applied IN-GRAPH before the step.
+# Struct-opt refinements are applied in-graph after the step (they are
+# computed on device anyway), so the steady-state host->device traffic for
+# the whole map is a single small upload. This removes the per-keyframe
+# full-table re-upload storm (the r4 batched drain stalls) and the
+# per-frame pt_pos/ln_pos uploads (VERDICT r4 next #1/#2).
+#
+# Blob layout (matches MapState.pack_mt_deltas; all f32, ints < 2^24):
+#   [NE]                      evicted KF slots (-1 = none)
+#   [K*9 + K*3]               kf_R, kf_t (always-current full copy; tiny)
+#   point rows (DP wide):     idx, mask, obs_reset, pos(3), status,
+#                             anchor_kf, anchor_uv(2), anchor_f(3),
+#                             anchor_level, anchor_type, anchor_dir(2)
+#   line rows (DL wide):      idx, mask, obs_reset, spos(3), epos(3),
+#                             status, anchor_kf, anchor_suv(2),
+#                             anchor_euv(2), anchor_sf(3), anchor_ef(3),
+#                             anchor_level
+#   point obs (OP wide):      row, slot, mask, kf, uv(2), f(3), level
+#   line obs (OL wide):       row, slot, mask, kf, sf(3), ef(3)
+#
+# Apply order (consistency with the host mirror, whose values are read at
+# PACK time): evict-clears -> row deltas (incl. per-row obs resets) ->
+# obs deltas. A slot evicted then reused within one window is handled:
+# the clear drops stale references, the obs deltas re-install the new ones.
+# ---------------------------------------------------------------------------
+
+MT_DELTA_DP = 256  # point-row delta capacity per blob (overflow spills
+MT_DELTA_DL = 96   # to the next frame's blob — deltas are idempotent
+MT_DELTA_OP = 256  # full-row snapshots, so spilling only delays sync)
+MT_DELTA_OL = 96
+# eviction list is NEVER allowed to spill (a spilled evict-sweep would
+# wipe obs appends for a reused slot shipped in an earlier blob): size it
+# to the keyframe ring so every queued eviction always ships at once
+MT_DELTA_NE = 16
+
+
+def mt_delta_len(K: int, DP: int = MT_DELTA_DP, DL: int = MT_DELTA_DL,
+                 OP: int = MT_DELTA_OP, OL: int = MT_DELTA_OL,
+                 NE: int = MT_DELTA_NE) -> int:
+    return (NE + K * 12 + DP * 17 + DL * 22 + OP * 10 + OL * 10)
+
+
+def map_tables_from_state(m) -> "MapTables":
+    """Fresh device MapTables from a MapState mirror (full upload — the
+    carry RESYNC point; per-frame sync goes through apply_mt_deltas)."""
+    return MapTables(
+        pt_pos=m.dev("pt_pos"), pt_status=m.dev("pt_status"),
+        pt_anchor_kf=m.dev("pt_anchor_kf"),
+        pt_anchor_uv=m.dev("pt_anchor_uv"),
+        pt_anchor_f=m.dev("pt_anchor_f"),
+        pt_anchor_level=m.dev("pt_anchor_level"),
+        pt_anchor_type=m.dev("pt_anchor_type"),
+        pt_anchor_dir=m.dev("pt_anchor_dir"),
+        pt_obs_kf=m.dev_obs("pt_obs_kf"),
+        pt_obs_uv=m.dev_obs("pt_obs_uv"),
+        pt_obs_f=m.dev_obs("pt_obs_f"),
+        pt_obs_level=m.dev_obs("pt_obs_level"),
+        ln_spos=m.dev("ln_spos"), ln_epos=m.dev("ln_epos"),
+        ln_status=m.dev("ln_status"), ln_anchor_kf=m.dev("ln_anchor_kf"),
+        ln_anchor_suv=m.dev("ln_anchor_suv"),
+        ln_anchor_euv=m.dev("ln_anchor_euv"),
+        ln_anchor_sf=m.dev("ln_anchor_sf"),
+        ln_anchor_ef=m.dev("ln_anchor_ef"),
+        ln_anchor_level=m.dev("ln_anchor_level"),
+        ln_obs_kf=m.dev_obs("ln_obs_kf"),
+        ln_obs_sf=m.dev_obs("ln_obs_sf"),
+        ln_obs_ef=m.dev_obs("ln_obs_ef"),
+        kf_R=m.dev("kf_R"), kf_t=m.dev("kf_t"))
+
+
+@partial(jax.jit, static_argnames=("DP", "DL", "OP", "OL", "NE"))
+def apply_mt_deltas(mt: "MapTables", blob: jnp.ndarray, *,
+                    DP: int = MT_DELTA_DP, DL: int = MT_DELTA_DL,
+                    OP: int = MT_DELTA_OP, OL: int = MT_DELTA_OL,
+                    NE: int = MT_DELTA_NE) -> "MapTables":
+    """In-graph application of a host delta blob onto the device carry."""
+    K = mt.kf_R.shape[0]
+    P = mt.pt_pos.shape[0]
+    L = mt.ln_spos.shape[0]
+    off = 0
+
+    def take(n, shape=None):
+        nonlocal off
+        a = jax.lax.dynamic_slice_in_dim(blob, off, n)
+        off += n
+        return a if shape is None else a.reshape(shape)
+
+    evict = take(NE).astype(jnp.int32)  # (NE,)
+    kf_R = take(K * 9, (K, 3, 3))
+    kf_t = take(K * 3, (K, 3))
+
+    # --- 1. evict-clears on the obs tables ---
+    pt_obs_kf = mt.pt_obs_kf
+    ln_obs_kf = mt.ln_obs_kf
+    pt_dead = (pt_obs_kf[None] == evict[:, None, None]).any(0)
+    ln_dead = (ln_obs_kf[None] == evict[:, None, None]).any(0)
+    pt_obs_kf = jnp.where(pt_dead, -1, pt_obs_kf)
+    ln_obs_kf = jnp.where(ln_dead, -1, ln_obs_kf)
+
+    # --- 2. point row deltas ---
+    rows = take(DP).astype(jnp.int32)
+    mask = take(DP) > 0.5
+    obs_reset = take(DP) > 0.5
+    rp = jnp.where(mask, rows, P)  # out-of-range rows drop
+    pos = take(DP * 3, (DP, 3))
+    status = take(DP)
+    a_kf = take(DP)
+    a_uv = take(DP * 2, (DP, 2))
+    a_f = take(DP * 3, (DP, 3))
+    a_lvl = take(DP)
+    a_typ = take(DP)
+    a_dir = take(DP * 2, (DP, 2))
+    st_dtype = mt.pt_status.dtype
+    mt_new = dict(
+        pt_pos=mt.pt_pos.at[rp].set(pos, mode="drop"),
+        pt_status=mt.pt_status.at[rp].set(status.astype(st_dtype),
+                                          mode="drop"),
+        pt_anchor_kf=mt.pt_anchor_kf.at[rp].set(
+            a_kf.astype(mt.pt_anchor_kf.dtype), mode="drop"),
+        pt_anchor_uv=mt.pt_anchor_uv.at[rp].set(a_uv, mode="drop"),
+        pt_anchor_f=mt.pt_anchor_f.at[rp].set(a_f, mode="drop"),
+        pt_anchor_level=mt.pt_anchor_level.at[rp].set(
+            a_lvl.astype(mt.pt_anchor_level.dtype), mode="drop"),
+        pt_anchor_type=mt.pt_anchor_type.at[rp].set(
+            a_typ.astype(mt.pt_anchor_type.dtype), mode="drop"),
+        pt_anchor_dir=mt.pt_anchor_dir.at[rp].set(a_dir, mode="drop"),
+        kf_R=kf_R, kf_t=kf_t)
+    rp_reset = jnp.where(mask & obs_reset, rows, P)
+    pt_obs_kf = pt_obs_kf.at[rp_reset].set(-1, mode="drop")
+
+    # --- 3. line row deltas ---
+    rows = take(DL).astype(jnp.int32)
+    mask = take(DL) > 0.5
+    obs_reset = take(DL) > 0.5
+    rl = jnp.where(mask, rows, L)
+    spos = take(DL * 3, (DL, 3))
+    epos = take(DL * 3, (DL, 3))
+    status = take(DL)
+    a_kf = take(DL)
+    a_suv = take(DL * 2, (DL, 2))
+    a_euv = take(DL * 2, (DL, 2))
+    a_sf = take(DL * 3, (DL, 3))
+    a_ef = take(DL * 3, (DL, 3))
+    a_lvl = take(DL)
+    mt_new.update(
+        ln_spos=mt.ln_spos.at[rl].set(spos, mode="drop"),
+        ln_epos=mt.ln_epos.at[rl].set(epos, mode="drop"),
+        ln_status=mt.ln_status.at[rl].set(
+            status.astype(mt.ln_status.dtype), mode="drop"),
+        ln_anchor_kf=mt.ln_anchor_kf.at[rl].set(
+            a_kf.astype(mt.ln_anchor_kf.dtype), mode="drop"),
+        ln_anchor_suv=mt.ln_anchor_suv.at[rl].set(a_suv, mode="drop"),
+        ln_anchor_euv=mt.ln_anchor_euv.at[rl].set(a_euv, mode="drop"),
+        ln_anchor_sf=mt.ln_anchor_sf.at[rl].set(a_sf, mode="drop"),
+        ln_anchor_ef=mt.ln_anchor_ef.at[rl].set(a_ef, mode="drop"),
+        ln_anchor_level=mt.ln_anchor_level.at[rl].set(
+            a_lvl.astype(mt.ln_anchor_level.dtype), mode="drop"))
+    rl_reset = jnp.where(mask & obs_reset, rows, L)
+    ln_obs_kf = ln_obs_kf.at[rl_reset].set(-1, mode="drop")
+
+    # --- 4. point obs deltas ---
+    orow = take(OP).astype(jnp.int32)
+    oslot = take(OP).astype(jnp.int32)
+    omask = take(OP) > 0.5
+    okf = take(OP)
+    ouv = take(OP * 2, (OP, 2))
+    of = take(OP * 3, (OP, 3))
+    olvl = take(OP)
+    orp = jnp.where(omask, orow, P)
+    mt_new.update(
+        pt_obs_kf=pt_obs_kf.at[orp, oslot].set(
+            okf.astype(pt_obs_kf.dtype), mode="drop"),
+        pt_obs_uv=mt.pt_obs_uv.at[orp, oslot].set(ouv, mode="drop"),
+        pt_obs_f=mt.pt_obs_f.at[orp, oslot].set(of, mode="drop"),
+        pt_obs_level=mt.pt_obs_level.at[orp, oslot].set(
+            olvl.astype(mt.pt_obs_level.dtype), mode="drop"))
+
+    # --- 5. line obs deltas ---
+    orow = take(OL).astype(jnp.int32)
+    oslot = take(OL).astype(jnp.int32)
+    omask = take(OL) > 0.5
+    okf = take(OL)
+    osf = take(OL * 3, (OL, 3))
+    oef = take(OL * 3, (OL, 3))
+    orl = jnp.where(omask, orow, L)
+    mt_new.update(
+        ln_obs_kf=ln_obs_kf.at[orl, oslot].set(
+            okf.astype(ln_obs_kf.dtype), mode="drop"),
+        ln_obs_sf=mt.ln_obs_sf.at[orl, oslot].set(osf, mode="drop"),
+        ln_obs_ef=mt.ln_obs_ef.at[orl, oslot].set(oef, mode="drop"))
+    return mt._replace(**mt_new)
+
+
+def apply_struct_to_mt(mt: "MapTables", res: "FusedResult") -> "MapTables":
+    """Scatter this frame's structure-opt refinements into the device
+    carry (the host applies the same values to its mirror when the result
+    is fetched, a window later in pipelined mode)."""
+    P = mt.pt_pos.shape[0]
+    L = mt.ln_spos.shape[0]
+    rp = jnp.where(res.st_pt_valid, res.st_pt_lm, P)
+    rl = jnp.where(res.st_ln_valid, res.st_ln_lm, L)
+    return mt._replace(
+        pt_pos=mt.pt_pos.at[rp].set(res.st_pt_pos, mode="drop"),
+        ln_spos=mt.ln_spos.at[rl].set(res.st_ln_spos, mode="drop"),
+        ln_epos=mt.ln_epos.at[rl].set(res.st_ln_epos, mode="drop"))
+
+
 def last_blob_specs(F: int, G: int, P: int, L: int):
     """Blob layout for the per-frame host-built tables: the last frame's
     feature tables + pose and the landmark last-optimized stamps. One
@@ -441,6 +652,7 @@ class FullStepResult(NamedTuple):
     pt_conv: object  # (converged, depth, alive, n_starved) or None
     ln_conv: object  # (converged, depth_s, depth_e, alive, n_starved) or None
     next: object = None  # NextFrameInputs (pipelined mode) or None
+    mt: object = None  # MapTables CARRY: input deltas + struct-opt applied
 
 
 class NextFrameInputs(NamedTuple):
@@ -454,6 +666,9 @@ class NextFrameInputs(NamedTuple):
     t_last: jnp.ndarray
     pt_last_optim: jnp.ndarray  # (P,) f32, updated with this frame's
     ln_last_optim: jnp.ndarray  # structure-opt selections
+    pyr: object = None  # this frame's pyramid (tuple of levels): the next
+    #                     chained step's last_pyr — so chained steps can
+    #                     take a RAW image and build their pyramid in-graph
 
 
 def _gram_schmidt(R):
@@ -467,7 +682,8 @@ def _gram_schmidt(R):
 
 def build_next_inputs(res: FusedResult, mt: MapTables,
                       pt_last_optim, ln_last_optim,
-                      frame_id: jnp.ndarray) -> NextFrameInputs:
+                      frame_id: jnp.ndarray,
+                      cur_pyr=None) -> NextFrameInputs:
     """Assemble the next frame's align inputs from this frame's results, on
     device. Matches the host path (_last_blob) except: landmark-status
     deletions decided by host counters lag one frame (the row is still
@@ -497,7 +713,8 @@ def build_next_inputs(res: FusedResult, mt: MapTables,
                                      ln_last_optim.shape[0])].set(
         fid, mode="drop")
     return NextFrameInputs(last=last, R_last=R, t_last=t,
-                           pt_last_optim=plo, ln_last_optim=llo)
+                           pt_last_optim=plo, ln_last_optim=llo,
+                           pyr=None if cur_pyr is None else tuple(cur_pyr))
 
 
 @partial(jax.jit, static_argnames=(
@@ -554,6 +771,7 @@ def track_frame_step(
 
 
 @partial(jax.jit, static_argnames=(
+    "n_levels",
     "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
     "seed_search_budget", "n_epi_steps", "seed_work_budget", "sigma_conv_factor", "n_pyr_seed", "emit_next", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
@@ -561,21 +779,33 @@ def track_frame_step(
     "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_step_tables(
-    last_pyr, cur_pyr, kf_pyr,
-    nxt: "NextFrameInputs",  # device-resident (produced by the PREVIOUS step)
-    mt: MapTables,
+    cur_img,  # RAW image (H,W) any dtype — pyramid built IN-GRAPH
+    kf_pyr,
+    nxt: "NextFrameInputs",  # device-resident (produced by the PREVIOUS
+    #                          step); nxt.pyr is the last frame's pyramid
+    mt: MapTables,  # device-resident CARRY (previous step's .mt output)
     pt_seeds, ln_seeds,
     batch_counter,
     fx, fy, cx, cy,
     *,
+    n_levels: int,
     frame_id,
+    mt_delta=None,  # flat f32 host blob (MapState.pack_mt_deltas) or None
     **kw,
 ) -> FullStepResult:
     """Pipelined-mode step: align inputs come from the previous step's
-    device-resident NextFrameInputs — no host blob, no fetch needed before
-    dispatch."""
+    device-resident NextFrameInputs (including its pyramid), the map
+    tables from the previous step's carry + this frame's host delta blob,
+    and the pyramid is built in-graph from the raw image — the only
+    host->device traffic per frame is ONE image and ONE small delta blob,
+    and the whole frame is ONE dispatch."""
+    from plsvo_tpu.image import _build_pyramid_jit
+
+    if mt_delta is not None:
+        mt = apply_mt_deltas(mt, mt_delta)
+    cur_pyr = _build_pyramid_jit(cur_img.astype(jnp.float32), n_levels)
     return _track_frame_step_impl(
-        last_pyr, cur_pyr, kf_pyr, nxt.last, nxt.R_last, nxt.t_last,
+        nxt.pyr, cur_pyr, kf_pyr, nxt.last, nxt.R_last, nxt.t_last,
         nxt.pt_last_optim, nxt.ln_last_optim, mt, pt_seeds, ln_seeds,
         batch_counter, fx, fy, cx, cy, emit_next=True, frame_id=frame_id,
         **kw)
@@ -675,10 +905,11 @@ def _track_frame_step_impl(
     nxt = None
     if emit_next:
         nxt = build_next_inputs(res, mt, pt_last_optim, ln_last_optim,
-                                frame_id)
+                                frame_id, cur_pyr=cur_pyr)
 
     return FullStepResult(fused=res, pt_seeds=pt_seeds, ln_seeds=ln_seeds,
-                          pt_conv=pt_conv, ln_conv=ln_conv, next=nxt)
+                          pt_conv=pt_conv, ln_conv=ln_conv, next=nxt,
+                          mt=apply_struct_to_mt(mt, res))
 
 
 @partial(jax.jit, static_argnames=(
@@ -742,7 +973,7 @@ def track_frame_step_list(
 
 
 @partial(jax.jit, static_argnames=(
-    "mesh", "mesh_axis",
+    "mesh", "mesh_axis", "n_levels",
     "update_pt_seeds", "update_ln_seeds", "max_seed_kfs",
     "seed_search_budget", "n_epi_steps", "seed_work_budget", "sigma_conv_factor", "n_pyr_seed", "pt_width", "ln_width",
     "levels", "n_iter_align", "patch_align", "cell_size",
@@ -750,42 +981,52 @@ def track_frame_step_list(
     "poseopt_iters", "poseopt_iters_ref", "poseopt_thresh", "n_pyr_use", "has_ls", "has_edgelets", "n_struct_pts",
     "n_struct_segs", "struct_iters"))
 def track_frame_step_tables_list(
-    per_seq_inputs,  # tuple over sequences of (last_pyr, cur_pyr, kf_pyr,
-    #                  mt, batch_counter, frame_id) — stacked INSIDE jit
+    per_seq_inputs,  # tuple over sequences of (kf_pyr,) — stacked IN jit
+    cur_imgs,  # (B, H, W) RAW images, ONE stacked host upload
+    bc_fid,  # (B, 2) int32 [batch_counter, frame_id], ONE stacked upload
     nxt_stacked,  # NextFrameInputs with leading batch axis (device-resident,
-    #               emitted by the previous batched step)
+    #               emitted by the previous batched step; .pyr = last pyrs)
+    mt_stacked,  # MapTables CARRY with leading batch axis (previous .mt)
+    mt_delta_stacked,  # (B, mt_delta_len) host delta blobs — ONE upload
     pt_seeds_stacked,
     ln_seeds_stacked,
     fx, fy, cx, cy,
     *,
+    n_levels: int,
     mesh=None,
     mesh_axis: str = "seq",
     **kw,
 ) -> FullStepResult:
     """Pipelined batched step: align inputs chain from the previous batched
-    step's device-resident NextFrameInputs — no host blobs, no fetch before
-    dispatch (the batched analogue of track_frame_step_tables). With a
-    mesh, shard-mapped over the sequence axis (see track_frame_step_list
-    for why shard_map and not a sharding constraint)."""
+    step's device-resident NextFrameInputs (incl. pyramids), map tables
+    from the previous step's stacked CARRY + one (B, L) host delta upload,
+    pyramids built in-graph from ONE stacked image upload — the entire
+    per-frame host->device traffic for B sequences is 3 uploads and ONE
+    dispatch (the r4 path paid ~8 image uploads + 8 pyramid dispatches +
+    2x8 scalar uploads + per-KF full-table re-upload storms; VERDICT r4
+    next #1). With a mesh, shard-mapped over the sequence axis (see
+    track_frame_step_list for why shard_map and not a sharding
+    constraint)."""
     stacked = jax.tree.map(lambda *a: jnp.stack(a), *per_seq_inputs)
-    last_pyr, cur_pyr, kf_pyr, mt, batch_counter, frame_id = stacked
+    (kf_pyr,) = stacked
 
-    def step(last_pyr, cur_pyr, kf_pyr, nxt, mt, pt_seeds, ln_seeds, bc,
-             fid):
+    def step(kf_pyr, img, bcf, delta, nxt, mt, pt_seeds, ln_seeds):
         return track_frame_step_tables(
-            last_pyr, cur_pyr, kf_pyr, nxt, mt, pt_seeds, ln_seeds, bc,
-            fx, fy, cx, cy, frame_id=fid, **kw)
+            img, kf_pyr, nxt, mt, pt_seeds, ln_seeds, bcf[0],
+            fx, fy, cx, cy, n_levels=n_levels, frame_id=bcf[1],
+            mt_delta=delta, **kw)
 
     if mesh is None:
-        return jax.vmap(step)(last_pyr, cur_pyr, kf_pyr, nxt_stacked, mt,
-                              pt_seeds_stacked, ln_seeds_stacked,
-                              batch_counter, frame_id)
-    host_args = (last_pyr, cur_pyr, kf_pyr, mt, batch_counter, frame_id)
+        return jax.vmap(step)(kf_pyr, cur_imgs, bc_fid, mt_delta_stacked,
+                              nxt_stacked, mt_stacked,
+                              pt_seeds_stacked, ln_seeds_stacked)
+    host_args = (kf_pyr, cur_imgs, bc_fid, mt_delta_stacked)
     return _shard_mapped_step(
-        lambda lp, cp, kp, mt_, bc, fid, pt_s, ln_s, *extra:
-            jax.vmap(step)(lp, cp, kp, extra[0], mt_, pt_s, ln_s, bc, fid),
+        lambda kp, im, bcf, delta, pt_s, ln_s, *extra:
+            jax.vmap(step)(kp, im, bcf, delta, extra[0], extra[1],
+                           pt_s, ln_s),
         mesh, mesh_axis, host_args, pt_seeds_stacked, ln_seeds_stacked,
-        nxt_stacked, flat_call=True)
+        nxt_stacked, mt_stacked, flat_call=True)
 
 
 

@@ -21,6 +21,25 @@ import numpy as np
 from plsvo_tpu.config import Config
 
 ST_DELETED = 0
+
+
+import jax as _jax
+
+
+@_jax.jit
+def _install_kf_pyr(kf_levels, frame_levels, slot):
+    """All pyramid levels of one keyframe installed in ONE dispatch (the
+    per-level eager .at[].set chain cost ~6 op launches per keyframe)."""
+    return tuple(P.at[slot].set(f.astype(P.dtype))
+                 for P, f in zip(kf_levels, frame_levels))
+
+
+@_jax.jit
+def _install_kf_pyr_stacked(kf_levels, stacked_levels, k, slot):
+    """Same, but slicing sequence k out of a batch-stacked pyramid
+    in-graph (LazyPyr case — avoids 6 eager slice ops too)."""
+    return tuple(P.at[slot].set(s[k].astype(P.dtype))
+                 for P, s in zip(kf_levels, stacked_levels))
 ST_CANDIDATE = 1
 ST_UNKNOWN = 2
 ST_GOOD = 3
@@ -173,6 +192,15 @@ class MapState:
         # device-side cache of host tables; invalidated explicitly by the
         # mutators so per-frame stages skip re-uploading unchanged tables
         self._dev: dict = {}
+        # CARRY-mode delta queues (fused.apply_mt_deltas): when MapTables
+        # live on device as a step-to-step carry, host-initiated mutations
+        # enqueue row ids here and ship as ONE packed blob per frame
+        # (pack_mt_deltas). dicts double as ordered sets (FIFO spill).
+        self._mt_dirty = {"pt": {}, "ln": {}}
+        self._mt_obs_delta = {"pt": {}, "ln": {}}  # (row, slot) pairs
+        self._mt_obs_reset = {"pt": set(), "ln": set()}  # full-row clears
+        self._mt_evicted: list = []
+        self._mt_overflow = False  # map-wide change (transform): resync
         # observation tables sync by ROW DELTAS instead of invalidation:
         # full (P, O, .) obs uploads are ~2.3 MB per keyframe per sequence
         # and dominated the keyframe-frame host time (measured multi-second
@@ -223,6 +251,158 @@ class MapState:
             if kf_name in self._dev_obs:
                 a = self._dev_obs[kf_name]
                 self._dev_obs[kf_name] = jnp.where(a == slot, -1, a)
+
+    # ---- carry-mode delta packing (fused.apply_mt_deltas layout) --------
+    def mark_mt_dirty(self, kind: str, rows):
+        """Queue landmark rows ('pt'/'ln') for full-row sync to the device
+        carry (status/pos/anchor changes decided on host)."""
+        d = self._mt_dirty[kind]
+        for r in np.atleast_1d(np.asarray(rows, np.int64)):
+            d[int(r)] = None
+
+    def mt_mark_clean(self):
+        """Drop every queued delta — call when the carry is (re)built from
+        a full upload of the host mirror, which already contains them."""
+        for d in self._mt_dirty.values():
+            d.clear()
+        for d in self._mt_obs_delta.values():
+            d.clear()
+        for s in self._mt_obs_reset.values():
+            s.clear()
+        self._mt_evicted = []
+        self._mt_overflow = False
+
+    def mt_dirty_pending(self) -> int:
+        return (sum(len(d) for d in self._mt_dirty.values())
+                + sum(len(d) for d in self._mt_obs_delta.values())
+                + len(self._mt_evicted))
+
+    def pack_mt_deltas(self, DP: int, DL: int, OP: int, OL: int,
+                       NE: int) -> np.ndarray:
+        """Drain up to the given widths from the delta queues into ONE flat
+        f32 blob (layout documented at fused.apply_mt_deltas). Overflow
+        stays queued for the next frame's blob — deltas are idempotent
+        full-row snapshots read from the mirror AT PACK TIME, so spilling
+        only delays sync, never corrupts it."""
+        K = self.cfg.caps.max_kfs
+
+        def drain(d, n, skip=None):
+            # skip: obs pairs whose row still has an UNSHIPPED obs-reset
+            # must wait for the row delta (resets apply before appends
+            # in-graph; shipping the append first would let a later reset
+            # wipe it)
+            if isinstance(d, list):
+                keys = d[:n]
+                del d[:len(keys)]
+                return keys
+            keys = []
+            for k in d:
+                if len(keys) >= n:
+                    break
+                if skip is not None and k[0] in skip:
+                    continue
+                keys.append(k)
+            for k in keys:
+                del d[k]
+            return keys
+
+        assert len(self._mt_evicted) <= NE, "eviction list must not spill"
+        ev = np.full(NE, -1, np.float32)
+        got = drain(self._mt_evicted, NE)
+        ev[:len(got)] = got
+
+        parts = [ev, self.kf_R.ravel().astype(np.float32),
+                 self.kf_t.ravel().astype(np.float32)]
+
+        # point rows
+        rows = np.asarray(drain(self._mt_dirty["pt"], DP), np.int64)
+        n = len(rows)
+        idx = np.zeros(DP, np.float32)
+        idx[:n] = rows
+        mask = np.zeros(DP, np.float32)
+        mask[:n] = 1.0
+        reset = np.zeros(DP, np.float32)
+        if n:
+            rs = self._mt_obs_reset["pt"]
+            reset[:n] = [1.0 if int(r) in rs else 0.0 for r in rows]
+            rs.difference_update(int(r) for r in rows)
+        r0 = rows if n else np.zeros(0, np.int64)
+
+        def rowsel(tab, width, cols):
+            out = np.zeros((width,) + tab.shape[1:], np.float32)
+            if n:
+                out[:n] = tab[r0]
+            return out.ravel()
+
+        parts += [idx, mask, reset,
+                  rowsel(self.pt_pos, DP, 3),
+                  rowsel(self.pt_status.astype(np.float32), DP, 1),
+                  rowsel(self.pt_anchor_kf.astype(np.float32), DP, 1),
+                  rowsel(self.pt_anchor_uv, DP, 2),
+                  rowsel(self.pt_anchor_f, DP, 3),
+                  rowsel(self.pt_anchor_level.astype(np.float32), DP, 1),
+                  rowsel(self.pt_anchor_type.astype(np.float32), DP, 1),
+                  rowsel(self.pt_anchor_dir, DP, 2)]
+
+        # line rows
+        rows = np.asarray(drain(self._mt_dirty["ln"], DL), np.int64)
+        n = len(rows)
+        idx = np.zeros(DL, np.float32)
+        idx[:n] = rows
+        mask = np.zeros(DL, np.float32)
+        mask[:n] = 1.0
+        reset = np.zeros(DL, np.float32)
+        if n:
+            rs = self._mt_obs_reset["ln"]
+            reset[:n] = [1.0 if int(r) in rs else 0.0 for r in rows]
+            rs.difference_update(int(r) for r in rows)
+        r0 = rows if n else np.zeros(0, np.int64)
+        parts += [idx, mask, reset,
+                  rowsel(self.ln_spos, DL, 3),
+                  rowsel(self.ln_epos, DL, 3),
+                  rowsel(self.ln_status.astype(np.float32), DL, 1),
+                  rowsel(self.ln_anchor_kf.astype(np.float32), DL, 1),
+                  rowsel(self.ln_anchor_suv, DL, 2),
+                  rowsel(self.ln_anchor_euv, DL, 2),
+                  rowsel(self.ln_anchor_sf, DL, 3),
+                  rowsel(self.ln_anchor_ef, DL, 3),
+                  rowsel(self.ln_anchor_level.astype(np.float32), DL, 1)]
+
+        # point obs deltas
+        pairs = drain(self._mt_obs_delta["pt"], OP,
+                      skip=self._mt_obs_reset["pt"])
+        n = len(pairs)
+        orow = np.zeros(OP, np.float32)
+        oslot = np.zeros(OP, np.float32)
+        omask = np.zeros(OP, np.float32)
+        okf = np.zeros(OP, np.float32)
+        ouv = np.zeros((OP, 2), np.float32)
+        of = np.zeros((OP, 3), np.float32)
+        olvl = np.zeros(OP, np.float32)
+        for i, (r, s) in enumerate(pairs):
+            orow[i], oslot[i], omask[i] = r, s, 1.0
+            okf[i] = self.pt_obs_kf[r, s]
+            ouv[i] = self.pt_obs_uv[r, s]
+            of[i] = self.pt_obs_f[r, s]
+            olvl[i] = self.pt_obs_level[r, s]
+        parts += [orow, oslot, omask, okf, ouv.ravel(), of.ravel(), olvl]
+
+        # line obs deltas
+        pairs = drain(self._mt_obs_delta["ln"], OL,
+                      skip=self._mt_obs_reset["ln"])
+        orow = np.zeros(OL, np.float32)
+        oslot = np.zeros(OL, np.float32)
+        omask = np.zeros(OL, np.float32)
+        okf = np.zeros(OL, np.float32)
+        osf = np.zeros((OL, 3), np.float32)
+        oef = np.zeros((OL, 3), np.float32)
+        for i, (r, s) in enumerate(pairs):
+            orow[i], oslot[i], omask[i] = r, s, 1.0
+            okf[i] = self.ln_obs_kf[r, s]
+            osf[i] = self.ln_obs_sf[r, s]
+            oef[i] = self.ln_obs_ef[r, s]
+        parts += [orow, oslot, omask, okf, osf.ravel(), oef.ravel()]
+        return np.concatenate(parts)
 
     def kf_atlas_flat(self, n_levels: int):
         """Flat-packed keyframe pyramid super-atlas (image.FlatAtlas),
@@ -341,8 +521,18 @@ class MapState:
         self.kf_R[slot] = frame.R_f_w
         self.kf_t[slot] = frame.t_f_w
         self.invalidate()  # keyframe install touches poses/anchors/obs
-        for l in range(self.n_levels):
-            self.kf_pyr[l] = self.kf_pyr[l].at[slot].set(frame.pyr[l])
+        from plsvo_tpu.image import LazyPyr
+
+        slot_t = jnp.asarray(slot, jnp.int32)
+        if isinstance(frame.pyr, LazyPyr):
+            self.kf_pyr = list(_install_kf_pyr_stacked(
+                tuple(self.kf_pyr),
+                tuple(frame.pyr._s[: self.n_levels]),
+                jnp.asarray(frame.pyr._k, jnp.int32), slot_t))
+        else:
+            self.kf_pyr = list(_install_kf_pyr(
+                tuple(self.kf_pyr), tuple(frame.pyr[: self.n_levels]),
+                slot_t))
         self.kf_pt_uv[slot] = frame.pt_uv
         self.kf_pt_f[slot] = frame.pt_f
         self.kf_pt_level[slot] = frame.pt_level
@@ -355,25 +545,71 @@ class MapState:
         self.kf_seg_lm[slot] = np.where(frame.seg_valid, frame.seg_lm, -1)
 
         # register observations + refresh anchors to this (newest) keyframe
-        for i in np.where(frame.pt_valid & (frame.pt_lm >= 0))[0]:
-            lm = frame.pt_lm[i]
-            self._add_pt_obs(lm, slot, frame.pt_f[i], frame.pt_uv[i],
-                             int(frame.pt_level[i]))
+        # — VECTORIZED: the per-feature Python loop (~190 _add_pt_obs
+        # calls) cost ~9 ms per keyframe install and serialized B
+        # sequences' keyframes inside the batched drain windows
+        sel = np.where(frame.pt_valid & (frame.pt_lm >= 0))[0]
+        if len(sel):
+            # first frame-row per landmark wins (duplicates are not
+            # expected from the reprojector, but stay safe)
+            lm, first = np.unique(frame.pt_lm[sel], return_index=True)
+            sel = sel[first]
+            slots = self._obs_slots_vec(self.pt_obs_kf[lm],
+                                        self.pt_obs_stamp[lm])
+            self.pt_obs_kf[lm, slots] = slot
+            self.pt_obs_f[lm, slots] = frame.pt_f[sel]
+            self.pt_obs_uv[lm, slots] = frame.pt_uv[sel]
+            self.pt_obs_level[lm, slots] = frame.pt_level[sel]
+            self.pt_obs_stamp[lm, slots] = self.pt_obs_ptr[lm]
+            self.pt_obs_ptr[lm] += 1
             self.pt_anchor_kf[lm] = slot
-            self.pt_anchor_uv[lm] = frame.pt_uv[i]
-            self.pt_anchor_f[lm] = frame.pt_f[i]
-            self.pt_anchor_level[lm] = frame.pt_level[i]
-        for i in np.where(frame.seg_valid & (frame.seg_lm >= 0))[0]:
-            lm = frame.seg_lm[i]
-            self._add_ln_obs(lm, slot, frame.seg_sf[i], frame.seg_ef[i])
+            self.pt_anchor_uv[lm] = frame.pt_uv[sel]
+            self.pt_anchor_f[lm] = frame.pt_f[sel]
+            self.pt_anchor_level[lm] = frame.pt_level[sel]
+            d_pt = self._mt_dirty["pt"]
+            od_pt = self._mt_obs_delta["pt"]
+            dirty = self._obs_dirty["pt"]
+            for r, s in zip(lm.tolist(), slots.tolist()):
+                d_pt[r] = None
+                od_pt[(r, s)] = None
+                dirty.add(r)
+        sel = np.where(frame.seg_valid & (frame.seg_lm >= 0))[0]
+        if len(sel):
+            lm, first = np.unique(frame.seg_lm[sel], return_index=True)
+            sel = sel[first]
+            slots = self._obs_slots_vec(self.ln_obs_kf[lm],
+                                        self.ln_obs_stamp[lm])
+            self.ln_obs_kf[lm, slots] = slot
+            self.ln_obs_sf[lm, slots] = frame.seg_sf[sel]
+            self.ln_obs_ef[lm, slots] = frame.seg_ef[sel]
+            self.ln_obs_stamp[lm, slots] = self.ln_obs_ptr[lm]
+            self.ln_obs_ptr[lm] += 1
             self.ln_anchor_kf[lm] = slot
-            self.ln_anchor_suv[lm] = frame.seg_suv[i]
-            self.ln_anchor_euv[lm] = frame.seg_euv[i]
-            self.ln_anchor_sf[lm] = frame.seg_sf[i]
-            self.ln_anchor_ef[lm] = frame.seg_ef[i]
-            self.ln_anchor_level[lm] = frame.seg_level[i]
+            self.ln_anchor_suv[lm] = frame.seg_suv[sel]
+            self.ln_anchor_euv[lm] = frame.seg_euv[sel]
+            self.ln_anchor_sf[lm] = frame.seg_sf[sel]
+            self.ln_anchor_ef[lm] = frame.seg_ef[sel]
+            self.ln_anchor_level[lm] = frame.seg_level[sel]
+            d_ln = self._mt_dirty["ln"]
+            od_ln = self._mt_obs_delta["ln"]
+            dirty = self._obs_dirty["ln"]
+            for r, s in zip(lm.tolist(), slots.tolist()):
+                d_ln[r] = None
+                od_ln[(r, s)] = None
+                dirty.add(r)
         self._set_key_landmarks(slot, frame)
         return slot
+
+    @staticmethod
+    def _obs_slots_vec(obs_kf_rows: np.ndarray,
+                       stamp_rows: np.ndarray) -> np.ndarray:
+        """Vectorized _obs_slot over N landmark rows: first FREE slot per
+        row, else the oldest live observation (min write stamp)."""
+        free = obs_kf_rows < 0
+        has_free = free.any(axis=1)
+        first_free = np.argmax(free, axis=1)
+        oldest = np.argmin(stamp_rows, axis=1)
+        return np.where(has_free, first_free, oldest)
 
     def remove_keyframe(self, slot: int):
         """Evict a keyframe with reference-counting landmark deletion
@@ -390,6 +626,14 @@ class MapState:
         self.kf_key_lms[slot] = -1
         self.invalidate()
         self._obs_clear_kf_on_device(slot)
+        # carry path: one in-graph `obs_kf == slot -> -1` sweep; queued
+        # pairs referencing the dead slot would re-apply stale kf values,
+        # so drop them (the mirror already holds -1 there)
+        self._mt_evicted.append(int(slot))
+        for kind, kf_tab in (("pt", self.pt_obs_kf), ("ln", self.ln_obs_kf)):
+            dd = self._mt_obs_delta[kind]
+            for key in [k for k in dd if kf_tab[k[0], k[1]] == slot]:
+                del dd[key]
 
         # --- points ---
         observed_here = (self.pt_obs_kf == slot).any(axis=1)
@@ -407,6 +651,7 @@ class MapState:
                                np.maximum(self.pt_obs_kf[r], 0)])[0]
             if len(oks) == 0:
                 self.pt_status[r] = ST_DELETED
+                dead[r] = True  # scrub kf-table refs below too
                 continue
             o = oks[np.argmax(self.pt_obs_stamp[r, oks])]  # most recent
             self.pt_anchor_kf[r] = self.pt_obs_kf[r, o]
@@ -429,6 +674,7 @@ class MapState:
                                np.maximum(self.ln_obs_kf[r], 0)])[0]
             if len(oks) == 0:
                 self.ln_status[r] = ST_DELETED
+                ldead[r] = True  # scrub kf-table refs below too
                 continue
             o = oks[np.argmax(self.ln_obs_stamp[r, oks])]
             k = self.ln_obs_kf[r, o]
@@ -473,6 +719,7 @@ class MapState:
         self.pt_obs_stamp[lm, p] = self.pt_obs_ptr[lm]
         self.pt_obs_ptr[lm] += 1
         self._obs_dirty["pt"].add(int(lm))
+        self._mt_obs_delta["pt"][(int(lm), int(p))] = None
 
     def _add_ln_obs(self, lm: int, kf_slot: int, sf: np.ndarray, ef: np.ndarray):
         p = self._obs_slot(self.ln_obs_kf[lm], self.ln_obs_stamp[lm])
@@ -482,6 +729,7 @@ class MapState:
         self.ln_obs_stamp[lm, p] = self.ln_obs_ptr[lm]
         self.ln_obs_ptr[lm] += 1
         self._obs_dirty["ln"].add(int(lm))
+        self._mt_obs_delta["ln"][(int(lm), int(p))] = None
 
     def alloc_points(self, n: int) -> np.ndarray:
         """Return up to n free point rows (status DELETED)."""
@@ -513,6 +761,8 @@ class MapState:
         self.pt_obs_stamp[r] = -1
         self.pt_obs_ptr[r] = 0
         self._obs_dirty["pt"].add(int(r))
+        self._mt_dirty["pt"][int(r)] = None
+        self._mt_obs_reset["pt"].add(int(r))
         self._add_pt_obs(r, kf_slot, f, uv, level)
         self.invalidate("pt_pos", "pt_status", "pt_anchor_kf", "pt_anchor_uv",
                         "pt_anchor_f", "pt_anchor_level", "pt_anchor_type",
@@ -542,6 +792,8 @@ class MapState:
         self.ln_obs_stamp[r] = -1
         self.ln_obs_ptr[r] = 0
         self._obs_dirty["ln"].add(int(r))
+        self._mt_dirty["ln"][int(r)] = None
+        self._mt_obs_reset["ln"].add(int(r))
         self._add_ln_obs(r, kf_slot, sf, ef)
         self.invalidate("ln_spos", "ln_epos", "ln_status", "ln_anchor_kf",
                         "ln_anchor_suv", "ln_anchor_euv", "ln_anchor_sf",
@@ -574,6 +826,7 @@ class MapState:
 
     def transform(self, R: np.ndarray, t: np.ndarray, s: float):
         """Global similarity transform of the whole map (map.cpp:228-257)."""
+        self._mt_overflow = True  # map-wide change: carry must full-resync
         for k in np.where(self.kf_occupied)[0]:
             # T_f_w' = T_f_w * [R,t,s]^-1 with scale folded into translation
             Rk, tk = self.kf_R[k], self.kf_t[k]
