@@ -76,8 +76,9 @@ def test_pipeline_ate(sequence):
     est = np.stack(est)
     gt = np.stack(gt)
     ate = trajectory.ate_rmse(est, gt, with_scale=True)
-    # trajectory span is ~0.6m; sub-centimeter ATE expected
-    assert ate < 0.012, f"ATE {ate}"
+    # trajectory span is ~0.6m; measured 0.0039 — bound ~1.5x measured
+    # (VERDICT r4 next #8: no silent-regression slack)
+    assert ate < 0.006, f"ATE {ate}"
 
 
 def test_pipeline_creates_keyframes_and_landmarks(sequence):
@@ -478,7 +479,8 @@ def test_pipeline_ate_nonplanar():
     scene = synthetic.make_box_scene(rng, size=1024, texel_size=0.004)
     poses, imgs = _box_sequence(scene)
     vo, ate = _run_ate(poses, imgs)
-    assert ate < 0.012, f"ATE {ate}"
+    # measured 0.0046; bound ~1.5x measured (VERDICT r4 next #8)
+    assert ate < 0.007, f"ATE {ate}"
     # the map must contain OFF-plane structure. The VO world frame is the
     # first camera with median scene depth normalized to 1.0, so the
     # ground plane sits at z~1.0 and box tops (15-45 cm of 2 m) at
@@ -501,7 +503,8 @@ def test_pipeline_ate_nonplanar_photo():
         n_boxes=6, height_range=(0.10, 0.25))
     poses, imgs = _box_sequence(scene)
     _, ate = _run_ate(poses, imgs)
-    assert ate < 0.012, f"ATE {ate}"
+    # measured 0.0031; bound ~1.6x measured (VERDICT r4 next #8)
+    assert ate < 0.005, f"ATE {ate}"
 
 
 def test_pipeline_ate_on_real_photo_texture():
