@@ -569,6 +569,28 @@ def bundle_adjust_blob(blob, *, spec, n_iter: int = 10,
                          accept_gate=accept_gate)
 
 
+@partial(jax.jit, static_argnames=(
+    "spec", "n_iter", "pose_prior", "accept_gate"))
+def bundle_adjust_blob_batched(blobs, *, spec, n_iter: int = 10,
+                               huber: float = 1.0 / 250.0,
+                               damping: float = 1e-4, lm_damp: float = 1e-8,
+                               pose_prior: float = 0.0,
+                               accept_gate: bool = True):
+    """R same-spec windowed-BA problems solved by ONE vmapped program
+    (batched multi-sequence keyframe path, VERDICT r4 next #1: the per-vo
+    localBA dispatches serialized ~R x 4 ms of device time per drain
+    window). Returns stacked (kf_R, kf_t, lm_pos)."""
+    def one(blob):
+        prob = _problem_from_blob(blob, spec)
+        out, _ = bundle_adjust(prob, n_iter=n_iter, huber=huber,
+                               damping=damping, lm_damp=lm_damp,
+                               pose_prior=pose_prior,
+                               accept_gate=accept_gate)
+        return out.kf_R, out.kf_t, out.lm_pos
+
+    return jax.vmap(one)(blobs)
+
+
 def problem_from_window(map_state, cfg, core_slots, pad_bucket: int = 256):
     """Windowed localBA problem (reference intent:
     src/bundle_adjustment.cpp:124-255 `ba::localBA` — core keyframes free,

@@ -89,6 +89,19 @@ class BatchedVO:
             # OUR drain fetch. streams mode: each vo manages itself.
             vo._force_sync = self.mode != "streams"
             vo._defer_seed_init = self.pipelined and self.mode != "streams"
+            if vo._defer_seed_init:
+                # collect deferred KF detection + localBA requests and run
+                # ONE padded vmapped program of each per drain window
+                # instead of one ~6.5 ms detection + ~4 ms BA solve per
+                # keyframe per sequence
+                vo._queue_or_dispatch_detection = (
+                    lambda frame, vo=vo: self._queue_detection(vo, frame))
+                vo._solve_local_ba = (
+                    lambda blob, spec: self._queue_ba(blob, spec))
+        # queued keyframe-detection requests [(frame, occ_uv, occ_ok, ref)]
+        self._det_q: List = []
+        # queued localBA requests [(blob, spec, ref)]
+        self._ba_q: List = []
         # stacked device-resident seed tables for the current batch members
         self._seeds_idx: Optional[tuple] = None
         self._pt_stack = None
@@ -405,6 +418,95 @@ class BatchedVO:
                     results[i] = r
         return results
 
+    def _queue_detection(self, vo: FrameHandlerMono, frame):
+        """Record a deferred keyframe-detection request; returns a one-slot
+        ref that _flush_detections fills with (stacked_result, row)."""
+        occ_uv, occ_ok = vo._occupancy_inputs(frame)
+        ref = [None]
+        self._det_q.append((frame, occ_uv, occ_ok, ref))
+        return ref
+
+    def _flush_detections(self):
+        """Dispatch every queued KF detection as B-padded vmapped rounds
+        (ONE program per round; padding keeps a single compiled variant)."""
+        from plsvo_tpu.pipeline.frame_handler import _kf_detect_program_batched
+
+        B = len(self.vos)
+        pl = self.cfg.pipeline
+        n_pyr = max(pl.n_pyr_levels, pl.n_pyr_levels_segs)
+        statics = self.vos[0]._detect_statics()
+        while self._det_q:
+            reqs = self._det_q[:B]
+            del self._det_q[:len(reqs)]
+            rr = reqs + [reqs[0]] * (B - len(reqs))
+            pyrs = tuple(jnp.stack([r[0].pyr[l] for r in rr])
+                         for l in range(n_pyr))
+            occ_uv = jnp.asarray(np.stack([r[1] for r in rr]))
+            occ_ok = jnp.asarray(np.stack([r[2] for r in rr]))
+            out = _kf_detect_program_batched(pyrs, occ_uv, occ_ok, **statics)
+            for row, r in enumerate(reqs):
+                r[3][0] = (out, row)
+
+    def _queue_ba(self, blob, spec):
+        """Record a localBA solve request; _flush_bas fills the ref with
+        (stacked_result, row)."""
+        ref = [None]
+        self._ba_q.append((blob, spec, ref))
+        return ref
+
+    def _flush_bas(self):
+        """Solve queued same-spec localBA problems as B-padded vmapped
+        rounds (one program per round per spec)."""
+        from plsvo_tpu.parallel import ba as ba_mod
+
+        if not self._ba_q:
+            return
+        B = len(self.vos)
+        pl = self.cfg.pipeline
+        by_spec = {}
+        for blob, spec, ref in self._ba_q:
+            by_spec.setdefault(spec, []).append((blob, ref))
+        self._ba_q = []
+        for spec, reqs in by_spec.items():
+            while reqs:
+                batch = reqs[:B]
+                del reqs[:len(batch)]
+                rr = batch + [batch[0]] * (B - len(batch))
+                blobs = jnp.asarray(np.stack([b for b, _ in rr]))
+                out3 = ba_mod.bundle_adjust_blob_batched(
+                    blobs, spec=spec, n_iter=pl.loba_num_iter,
+                    pose_prior=pl.loba_pose_prior, accept_gate=False)
+                for row, (_, ref) in enumerate(batch):
+                    ref[0] = (out3, row)
+
+    @staticmethod
+    def _route_handles(handles):
+        """Split a handle list into plain device handles and refs into
+        stacked grouped results; returns (plain, groups, routes)."""
+        plain, groups, gids, routes = [], [], {}, []
+        for h in handles:
+            if isinstance(h, list):  # token ref -> (stacked_obj, row)
+                obj, row = h[0]
+                gid = gids.setdefault(id(obj), len(groups))
+                if gid == len(groups):
+                    groups.append(obj)
+                routes.append(("grp", gid, row))
+            else:
+                routes.append(("plain", len(plain)))
+                plain.append(h)
+        return plain, groups, routes
+
+    @staticmethod
+    def _resolve_routes(routes, plain_got, groups_got):
+        out = []
+        for route in routes:
+            if route[0] == "plain":
+                out.append(plain_got[route[1]])
+            else:
+                _, gid, row = route
+                out.append(jax.tree.map(lambda a: a[row], groups_got[gid]))
+        return out
+
     def _initiate_drain_batched(self, keep: int):
         """Stage 1: ONE flat concat of the oldest in-flight batched steps
         (+ deferred keyframe seed-detection results) handed to the
@@ -414,6 +516,8 @@ class BatchedVO:
         n = len(self._bq) - keep
         if n <= 0:
             return
+        self._flush_detections()
+        self._flush_bas()
         take = [self._bq.pop(0) for _ in range(n)]
         # deferred KF seed inits + localBA results from the previous window
         # (vo rows recorded at dispatch time) — all ride the ONE window fetch
@@ -432,15 +536,21 @@ class BatchedVO:
         for i, ent in pend_ba[4:]:
             self.vos[i]._pending_ba.append(ent)
         pend_ba = pend_ba[:4]
+        # seed-init / BA handles: plain per-vo device tuples OR refs into
+        # a stacked batched result (each stacked result packed ONCE; rows
+        # sliced from the fetched numpy tree at completion)
+        plain, det_groups, routes = self._route_handles(
+            [h for (_, (_, _, _, h)) in pend])
+        ba_plain, ba_groups, ba_routes = self._route_handles(
+            [h for (_, (h, _)) in pend_ba])
         flat, meta = fused.flatpack((
             [(fused.fetch_view(s.fused), s.pt_conv, s.ln_conv)
              for _, _, s in take],
-            [h for (_, (_, _, _, h)) in pend],
-            [h for (_, (h, _)) in pend_ba]))
+            plain, det_groups, ba_plain, ba_groups))
         fut = fused.submit_fetch(flat)
         self._bfetch_q.append(
             ([(didx, frames) for (didx, frames, _) in take],
-             pend, pend_ba, fut, meta))
+             pend, routes, pend_ba, ba_routes, fut, meta))
 
     def _complete_drains_batched(self, force: bool):
         """Stage 2a: unpack arrived windows. BA write-backs and seed inits
@@ -453,11 +563,16 @@ class BatchedVO:
         from plsvo_tpu.parallel import ba as ba_mod
 
         while self._bfetch_q and force:
-            entries, pend, pend_ba, fut, meta = self._bfetch_q.pop(0)
-            got, init_got, ba_got = fused.flatunpack(fut.result(), meta)
+            (entries, pend, routes, pend_ba, ba_routes, fut,
+             meta) = self._bfetch_q.pop(0)
+            got, plain_got, groups_got, ba_plain_got, ba_groups_got = \
+                fused.flatunpack(fut.result(), meta)
+            ba_got = self._resolve_routes(ba_routes, ba_plain_got,
+                                          ba_groups_got)
             for (i, (_, bmeta)), (kf_R, kf_t, lm_pos) in zip(pend_ba, ba_got):
                 ba_mod.write_back_window(self.vos[i].map, kf_R, kf_t, lm_pos,
                                          bmeta)
+            init_got = self._resolve_routes(routes, plain_got, groups_got)
             for (i, (kf_slot, dm, dmin, _)), fetched in zip(pend, init_got):
                 vo = self.vos[i]
                 if self._seeds_idx is not None and i in self._seeds_idx:
@@ -520,12 +635,17 @@ class BatchedVO:
         # round-trip N times at flush)
         from plsvo_tpu.parallel import ba as ba_mod
 
+        self._flush_bas()  # resolve any still-queued solve requests
         pend = [(vo, ent) for vo in self.vos for ent in vo._pending_ba]
         for vo in self.vos:
             vo._pending_ba = []
         if pend:
-            flat, fmeta = fused.flatpack([h for (_, (h, _)) in pend])
-            fetched = fused.flatunpack(jax.device_get(flat), fmeta)
+            plain, groups, routes = self._route_handles(
+                [h for (_, (h, _)) in pend])
+            flat, fmeta = fused.flatpack((plain, groups))
+            plain_got, groups_got = fused.flatunpack(
+                jax.device_get(flat), fmeta)
+            fetched = self._resolve_routes(routes, plain_got, groups_got)
             for (vo, (_, meta)), (kf_R, kf_t, lm_pos) in zip(pend, fetched):
                 ba_mod.write_back_window(vo.map, kf_R, kf_t, lm_pos, meta)
         out = self._bready

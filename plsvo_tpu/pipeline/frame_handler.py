@@ -107,6 +107,25 @@ def _kf_detect_program(pyr, occ_uv, occ_ok, *, use_pt, use_ls,
     return grid, segs, occupied, egrid
 
 
+@_partial(jax.jit, static_argnames=(
+    "use_pt", "use_ls", "use_edgelets", "n_pyr", "n_pyr_segs", "cell_size",
+    "score_threshold", "mag_threshold", "width", "height"))
+def _kf_detect_program_batched(pyrs, occ_uv, occ_ok, **statics):
+    """_kf_detect_program over R stacked keyframe requests in ONE
+    dispatch: the batched drain runs one padded program per window instead
+    of one ~6.5 ms program per sequence's keyframe (VERDICT r4 next #1 —
+    batch the per-KF device path across sequences). UNROLLED over the
+    batch, not vmapped: the Pallas FAST kernel's TPU lowering rejects the
+    batched BlockSpec a vmap would add; unrolling keeps the single-request
+    kernels verbatim inside one executable (no host round-trips, which is
+    what the batching is for)."""
+    R = pyrs[0].shape[0]
+    outs = [_kf_detect_program.__wrapped__(
+        tuple(p[r] for p in pyrs), occ_uv[r], occ_ok[r], **statics)
+        for r in range(R)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+
 class FrameHandlerMono:
     """Single-camera pipeline (reference: FrameHandlerMono)."""
 
@@ -958,12 +977,14 @@ class FrameHandlerMono:
             if defer and d_mean is not None:
                 # defer the detection fetch into the next drain window
                 # (async seed spawning, like the reference's mapping
-                # thread)
+                # thread). BatchedVO overrides _queue_or_dispatch_detection
+                # to COLLECT requests and run ONE vmapped program per
+                # window instead of one per keyframe.
                 kf_slot = int(np.where(
                     self.map.kf_frame_id == frame.frame_id)[0][0])
                 self._pending_seed_init.append(
                     (kf_slot, d_mean, max(d_min * 0.1, 1e-3),
-                     self._dispatch_seed_detection(frame)))
+                     self._queue_or_dispatch_detection(frame)))
             else:
                 self._init_seeds(frame, d_mean, max(d_min * 0.1, 1e-3))
         if self.cfg.pipeline.loba_enabled:
@@ -996,12 +1017,9 @@ class FrameHandlerMono:
         if meta["n_points"] + meta["n_lines"] == 0:
             return
         blob, spec = ba_mod.problem_blob(prob)
-        out, _stats = ba_mod.bundle_adjust_blob(
-            jnp.asarray(blob), spec=spec,
-            n_iter=self.cfg.pipeline.loba_num_iter,
-            pose_prior=self.cfg.pipeline.loba_pose_prior,
-            accept_gate=False)
-        handles = (out.kf_R, out.kf_t, out.lm_pos)
+        # BatchedVO overrides _solve_local_ba to collect same-spec
+        # problems across sequences into ONE vmapped solve per window
+        handles = self._solve_local_ba(blob, spec)
         defer = (self.cfg.pipeline.pipelined and not self._force_sync) \
             or self._defer_seed_init
         if defer:
@@ -1018,6 +1036,18 @@ class FrameHandlerMono:
             kf_R, kf_t, lm_pos = fused.flatunpack(jax.device_get(flat),
                                                   fmeta)
             ba_mod.write_back_window(m, kf_R, kf_t, lm_pos, meta)
+
+    def _solve_local_ba(self, blob, spec):
+        """Dispatch one windowed-BA solve; returns device handles
+        (kf_R, kf_t, lm_pos). Overridable (BatchedVO batches these)."""
+        from plsvo_tpu.parallel import ba as ba_mod
+
+        out, _stats = ba_mod.bundle_adjust_blob(
+            jnp.asarray(blob), spec=spec,
+            n_iter=self.cfg.pipeline.loba_num_iter,
+            pose_prior=self.cfg.pipeline.loba_pose_prior,
+            accept_gate=False)
+        return (out.kf_R, out.kf_t, out.lm_pos)
 
     def _complete_pending_ba(self):
         """Write back in-flight localBA results NOT yet folded into a drain
@@ -1044,6 +1074,11 @@ class FrameHandlerMono:
         self.pt_seeds = pt_seeds
         self.ln_seeds = ln_seeds
 
+    def _queue_or_dispatch_detection(self, frame: FrameState):
+        """Deferred-KF detection dispatch point — BatchedVO overrides this
+        per instance to batch requests across sequences."""
+        return self._dispatch_seed_detection(frame)
+
     def _dispatch_seed_detection(self, frame: FrameState):
         """Device handles for new-seed detection in a keyframe: FAST grid +
         line segments + cell occupancy of the frame's existing features.
@@ -1051,10 +1086,18 @@ class FrameHandlerMono:
         into the next drain fetch — the reference's mapping thread initializes
         seeds asynchronously too, depth_filter.cpp:256-258)."""
         pl = self.cfg.pipeline
+        occ_uv, occ_ok = self._occupancy_inputs(frame)
+        n_pyr = max(pl.n_pyr_levels, pl.n_pyr_levels_segs)
+        grid_dev, segs_dev, occupied, egrid_dev = _kf_detect_program(
+            tuple(frame.pyr[:n_pyr]), jnp.asarray(occ_uv),
+            jnp.asarray(occ_ok), **self._detect_statics())
+        return (grid_dev, segs_dev, occupied, egrid_dev)
+
+    def _occupancy_inputs(self, frame: FrameState):
+        """FIXED-capacity occupancy input: a raw len(valid) array changes
+        shape every keyframe and forced a fresh XLA compile per KF
+        (~0.5 s each over the remote-compile tunnel)."""
         caps = self.cfg.caps
-        # FIXED-capacity occupancy input: a raw len(valid) array changes
-        # shape every keyframe and forced a fresh XLA compile per KF
-        # (~0.5 s each over the remote-compile tunnel)
         cap = caps.max_fts + 2 * caps.max_segs
         occ_uv = np.zeros((cap, 2), np.float32)
         occ_ok = np.zeros(cap, bool)
@@ -1064,10 +1107,11 @@ class FrameHandlerMono:
         n_occ = min(len(parts), cap)
         occ_uv[:n_occ] = parts[:n_occ]
         occ_ok[:n_occ] = True
-        n_pyr = max(pl.n_pyr_levels, pl.n_pyr_levels_segs)
-        grid_dev, segs_dev, occupied, egrid_dev = _kf_detect_program(
-            tuple(frame.pyr[:n_pyr]), jnp.asarray(occ_uv),
-            jnp.asarray(occ_ok),
+        return occ_uv, occ_ok
+
+    def _detect_statics(self) -> dict:
+        pl = self.cfg.pipeline
+        return dict(
             use_pt=pl.has_pt, use_ls=pl.has_ls,
             use_edgelets=pl.use_edgelets and pl.has_pt,
             n_pyr=pl.n_pyr_levels, n_pyr_segs=pl.n_pyr_levels_segs,
@@ -1075,7 +1119,6 @@ class FrameHandlerMono:
             score_threshold=pl.triang_min_corner_score,
             mag_threshold=pl.edgelet_grad_thresh,
             width=self.cam.width, height=self.cam.height)
-        return (grid_dev, segs_dev, occupied, egrid_dev)
 
     def _init_seeds(self, frame: FrameState, d_mean, d_min):
         """Spawn seeds in grid cells not already holding a feature
