@@ -225,80 +225,65 @@ def main():
             print(f"device_step_ms failed: {e}", file=sys.stderr)
 
     # ---- batched multi-sequence throughput (one chip, B sequences) ----
-    if os.environ.get("BENCH_BATCHED", "1") != "0":
+    # stagger the streams (sequence k starts k frames in, wrapping) so
+    # keyframes desynchronize across the batch like real deployments —
+    # identical streams make all B sequences pay the keyframe path in the
+    # same step. uint8 ingestion: what real cameras deliver, and 4x less
+    # tunnel upload bandwidth than f32.
+    # TWO passes per mode, same reason as the single-seq phase: pass 0
+    # warms every program variant (once ever, via the persistent cache),
+    # pass 1 is the timed run.
+    def run_batched(mode: str):
         from plsvo_tpu.parallel.multi_vo import BatchedVO
 
         B = int(os.environ.get("BENCH_BATCH", "8"))
-        # streams mode: B independent pipelined handlers interleaving on
-        # the device queue (measured ~4x the vmapped batch's throughput on
-        # one chip — see BatchedVO docstring; vmap+mesh is the multi-chip
-        # path)
-        # stagger the streams (sequence k starts k frames in, wrapping) so
-        # keyframes desynchronize across the batch like real deployments —
-        # identical streams make all B sequences pay the keyframe path in
-        # the same step. uint8 ingestion: what real cameras deliver, and
-        # 4x less tunnel upload bandwidth than f32
         imgs_h = [np.clip(np.round(np.asarray(im)), 0, 255).astype(np.uint8)
                   for im in imgs]
-        # TWO passes, same reason as the single-seq phase: staggered
-        # streams hit seed-width program variants the single-seq pass never
-        # compiled; pass 0 warms them (once ever, via the persistent
-        # cache), pass 1 is the timed run.
+        depth = int(os.environ.get("BENCH_BATCH_DEPTH", "8"))
         for _pass in range(2):
             bvo = BatchedVO(cam, Config(pipeline=PipelineConfig(
-                pipelined=True, pipeline_depth=8)), B,
-                mode=os.environ.get("BENCH_BATCH_MODE", "streams"))
+                pipelined=True, pipeline_depth=depth)), B, mode=mode)
             bt = []
             for i in range(n_frames):
                 t0 = time.perf_counter()
                 bvo.add_images([imgs_h[max(0, i - k)] for k in range(B)],
                                i / 30.0)
                 dt = time.perf_counter() - t0
-                all_def = all(s == "default" for s in bvo.stages)
-                bt.append((dt, all_def))
-                print(f"pass{_pass} batched frame {i}: {dt*1000:.1f}ms "
+                bt.append((dt, all(s == "default" for s in bvo.stages)))
+                print(f"pass{_pass} {mode} frame {i}: {dt*1000:.1f}ms "
                       f"stages={set(bvo.stages)}", file=sys.stderr)
             bvo.flush()
         defaults = [dt for dt, ok in bt if ok]
         steady_b = (defaults[len(defaults) // 2:]
                     if len(defaults) > 6 else defaults)
-        if steady_b:
-            per = float(np.mean(steady_b))
-            out["batched_fps_b8"] = round(B / per, 2)
-            out["batched_seqs"] = B
+        return (round(B / float(np.mean(steady_b)), 2) if steady_b
+                else None), B
 
-    # ---- vmapped config-4 path (the actual multi-chip story): ONE
-    # vmapped device program per frame over the whole batch. Reported
-    # separately so the artifact carries the shard-mapped path's number,
-    # not only the streams mode (VERDICT r3 weak #3). ----
+    # the vmapped path IS the production batched mode (BatchedVO
+    # mode="auto"; fastest measured single-chip mode since r5 AND the
+    # only one that shard-maps over a mesh) — it provides the headline
+    # batched_fps_b8. Streams mode is recorded alongside for comparison.
     if os.environ.get("BENCH_VMAP", "1") != "0":
         try:
-            from plsvo_tpu.parallel.multi_vo import BatchedVO
-
-            B = int(os.environ.get("BENCH_BATCH", "8"))
-            imgs_h = [np.clip(np.round(np.asarray(im)), 0,
-                              255).astype(np.uint8) for im in imgs]
-            for _pass in range(2):
-                bvo = BatchedVO(cam, Config(pipeline=PipelineConfig(
-                    pipelined=True, pipeline_depth=8)), B, mode="vmap")
-                bt = []
-                for i in range(n_frames):
-                    t0 = time.perf_counter()
-                    bvo.add_images(
-                        [imgs_h[max(0, i - k)] for k in range(B)], i / 30.0)
-                    dt = time.perf_counter() - t0
-                    bt.append((dt, all(s == "default" for s in bvo.stages)))
-                    print(f"pass{_pass} vmap frame {i}: {dt*1000:.1f}ms",
-                          file=sys.stderr)
-                bvo.flush()
-            defaults = [dt for dt, ok in bt if ok]
-            steady_b = (defaults[len(defaults) // 2:]
-                        if len(defaults) > 6 else defaults)
-            if steady_b:
-                per = float(np.mean(steady_b))
-                out["batched_fps_b8_vmap"] = round(B / per, 2)
+            fps_b, B = run_batched("vmap")
+            if fps_b:
+                out["batched_fps_b8"] = fps_b
+                out["batched_fps_b8_vmap"] = fps_b
+                out["batched_mode"] = "vmap"
+                out["batched_seqs"] = B
         except Exception as e:  # never lose the JSON line to this phase
             print(f"vmap phase failed: {e}", file=sys.stderr)
+    if os.environ.get("BENCH_BATCHED", "1") != "0":
+        try:
+            fps_s, B = run_batched("streams")
+            if fps_s:
+                out["batched_fps_b8_streams"] = fps_s
+                out["batched_seqs"] = B
+                if "batched_fps_b8" not in out:
+                    out["batched_fps_b8"] = fps_s
+                    out["batched_mode"] = "streams"
+        except Exception as e:
+            print(f"streams phase failed: {e}", file=sys.stderr)
 
     print(json.dumps(out))
 

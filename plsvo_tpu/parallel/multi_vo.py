@@ -55,18 +55,19 @@ def _stack_row_set(stack, k, row):
 class BatchedVO:
     """Drives B sequences on one or many chips. Two execution modes:
 
-    - "streams" (default on a single device): B independent pipelined
-      frame-handler instances whose dispatches interleave on the device
-      queue; each stream keeps its small per-seq programs and its own
-      drain cadence. Best single-chip WALL-clock today: the batched drain
-      windows serialize 8 sequences' host bookkeeping, which stalls the
-      vmap mode when several sequences hit keyframes in one window.
-    - "vmap": ONE vmapped device program per frame over the whole batch,
-      shard-mapped over a `mesh` — the multi-chip data-parallel path
-      (BASELINE.json config 4). Since the r3 window-gather samplers the
-      vmapped step is ADDITIVE on device (B=8: 51.5 ms vs 8 x 5.8 ms
-      single — scratch/profile_batched_step.py); the run uses ONE pinned
-      program variant and engages only at full batch membership.
+    - "vmap" (the default, and the only multi-chip path): ONE vmapped
+      device program per frame over the whole batch, shard-mapped over a
+      `mesh` (BASELINE.json config 4). The r5 carry design makes this the
+      fastest single-chip mode too (measured 78-92 agg fps vs streams'
+      69-77 across tunnel-weather bands): the whole batch's per-frame
+      host->device traffic is one stacked image + one (B,2) scalar + one
+      (B,L) map-delta upload, and per-keyframe detection/localBA batch
+      into one padded program each per drain window. The vmapped step is
+      ~1.1x additive on device (B=8: ~48 ms vs 8 x 5.4 ms single).
+    - "streams": B independent pipelined frame-handler instances whose
+      dispatches interleave on the device queue. Kept for comparison and
+      for heterogeneous batches (different configs/cameras per stream),
+      which the vmapped program cannot express.
     """
 
     def __init__(self, cam: PinholeCamera, cfg: Config, n_sequences: int,
@@ -78,7 +79,7 @@ class BatchedVO:
         self.mesh = mesh
         self.axis = axis
         if mode == "auto":
-            mode = "vmap" if mesh is not None else "streams"
+            mode = "vmap"
         self.mode = mode
         self.pipelined = bool(cfg.pipeline.pipelined)
         self.depth = max(1, cfg.pipeline.pipeline_depth)

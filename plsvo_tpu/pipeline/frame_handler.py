@@ -1320,40 +1320,60 @@ class FrameHandlerMono:
         self._ln_converged_dev = None
         gi = 0
         if has_pt:
-            conv, depth, alive_b, *extra = got[gi]
+            g = got[gi]
             gi += 1
-            # budget-starvation observability (permon `seed_starved`):
-            # searchable seeds deferred by seed_search_budget this frame
-            self.permon.log("seed_starved",
-                            int(extra[0]) if extra else 0)
-            nrows = len(self._pt_rows)
-            self._seed_alive[self._pt_rows] = alive_b[:nrows]
+            if len(g) == 5:  # COMPACT fused-step format (fused.py)
+                rows_c, depth_c, n_conv, alive_w, n_starved = g
+                cap = self.cfg.caps.max_seeds
+                self._seed_alive[:] = fused.unpack_bits16(alive_w, cap)
+                pairs = [(int(r), float(d))
+                         for r, d in zip(rows_c, depth_c) if r < cap]
+                pairs = pairs[: int(n_conv)]
+            else:  # staged bucket-mask format (_update_seeds)
+                conv, depth, alive_b, *extra = g
+                n_starved = int(extra[0]) if extra else 0
+                nrows = len(self._pt_rows)
+                self._seed_alive[self._pt_rows] = alive_b[:nrows]
+                pairs = [(int(self._pt_rows[bi]), float(depth[bi]))
+                         for bi in np.where(conv[:nrows])[0]]
+            self.permon.log("seed_starved", int(n_starved))
             sh = self._seed_host
-            for bi in np.where(conv[:nrows])[0]:
-                i = self._pt_rows[bi]
+            for i, depth_i in pairs:
                 k = sh["kf_idx"][i]
                 if not m.kf_occupied[k]:
                     continue
                 Rk, tk = m.kf_R[k], m.kf_t[k]
-                pos_w = Rk.T @ (sh["f"][i] * depth[bi] - tk)
+                pos_w = Rk.T @ (sh["f"][i] * depth_i - tk)
                 m.new_point(pos_w, int(k), sh["uv"][i], sh["f"][i],
                             int(sh["level"][i]), status=ST_CANDIDATE,
                             ftype=int(sh["type"][i]), grad_dir=sh["dir"][i])
         if has_ln:
-            lconv, ds, de, lalive_b, *lextra = got[gi]
-            self.permon.log("seed_starved_ln",
-                            int(lextra[0]) if lextra else 0)
-            nrows = len(self._ln_rows)
-            self._lnseed_alive[self._ln_rows] = lalive_b[:nrows]
+            g = got[gi]
+            if len(g) == 6:  # COMPACT fused-step format
+                lrows_c, ds_c, de_c, n_conv, lalive_w, ln_starved = g
+                lcap = self.cfg.caps.max_seed_segs
+                self._lnseed_alive[:] = fused.unpack_bits16(lalive_w, lcap)
+                lpairs = [(int(r), float(s), float(e))
+                          for r, s, e in zip(lrows_c, ds_c, de_c)
+                          if r < lcap]
+                lpairs = lpairs[: int(n_conv)]
+            else:  # staged bucket-mask format
+                lconv, ds, de, lalive_b, *lextra = g
+                ln_starved = int(lextra[0]) if lextra else 0
+                nrows = len(self._ln_rows)
+                self._lnseed_alive[self._ln_rows] = lalive_b[:nrows]
+                lpairs = [(int(self._ln_rows[bi]), float(ds[bi]),
+                           float(de[bi]))
+                          for bi in np.where(lconv[:nrows])[0]]
+            self.permon.log("seed_starved_ln", int(ln_starved))
             lh = self._lnseed_host
-            for bi in np.where(lconv[:nrows])[0]:
-                i = self._ln_rows[bi]
+            for i, ds_i, de_i in lpairs:
                 k = lh["kf_idx"][i]
                 if not m.kf_occupied[k]:
                     continue
                 Rk, tk = m.kf_R[k], m.kf_t[k]
-                spos = Rk.T @ (lh["sf"][i] * ds[bi] - tk)
-                epos = Rk.T @ (lh["ef"][i] * de[bi] - tk)
+                spos = Rk.T @ (lh["sf"][i] * ds_i - tk)
+                epos = Rk.T @ (lh["ef"][i] * de_i - tk)
                 m.new_line(spos, epos, int(k), lh["s_uv"][i], lh["e_uv"][i],
                            lh["sf"][i], lh["ef"][i], int(lh["level"][i]),
                            status=ST_CANDIDATE)

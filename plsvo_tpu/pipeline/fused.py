@@ -649,10 +649,36 @@ class FullStepResult(NamedTuple):
     fused: FusedResult
     pt_seeds: object  # PointSeeds (device-resident; NOT fetched per frame)
     ln_seeds: object  # LineSeeds or None
-    pt_conv: object  # (converged, depth, alive, n_starved) or None
-    ln_conv: object  # (converged, depth_s, depth_e, alive, n_starved) or None
+    # COMPACT per-frame seed sync (fetched every frame, so sized for the
+    # wire): converged rows/depths compacted to CONV_BUDGET entries,
+    # alive masks bit-packed 16 flags per exact-int f32 word
+    pt_conv: object  # (rows[K], depth[K], n_conv, alive_packed, n_starved)
+    ln_conv: object  # (rows[K], d_s[K], d_e[K], n_conv, alive_packed,
+    #                  n_starved) or None
     next: object = None  # NextFrameInputs (pipelined mode) or None
     mt: object = None  # MapTables CARRY: input deltas + struct-opt applied
+
+
+CONV_BUDGET = 64  # converged-seed reports per frame (observed <= ~15; a
+#                   convergence beyond the budget would lose its candidate
+#                   landmark, so the budget is generous)
+
+
+def pack_bits16(mask: jnp.ndarray) -> jnp.ndarray:
+    """(N,) bool -> (ceil(N/16),) f32 of exact 16-bit integers."""
+    N = mask.shape[0]
+    pad = (-N) % 16
+    m = jnp.pad(mask.astype(jnp.float32), (0, pad)).reshape(-1, 16)
+    return m @ (2.0 ** jnp.arange(16, dtype=jnp.float32))
+
+
+def unpack_bits16(words, n: int):
+    """Inverse of pack_bits16 on HOST numpy."""
+    import numpy as np
+
+    w = np.asarray(words, np.int64)
+    bits = (w[:, None] >> np.arange(16)[None, :]) & 1
+    return bits.reshape(-1)[:n].astype(bool)
 
 
 class NextFrameInputs(NamedTuple):
@@ -878,28 +904,37 @@ def _track_frame_step_impl(
             sub_pt, sub_ln, R_w_kf, t_w_kf, *seed_pyrs, R_w_cur, t_w_cur,
             fx, fy, cx, cy, batch_counter,
             has_pt=update_pt_seeds, has_ln=update_ln_seeds, **skw)
+        K = CONV_BUDGET
         if update_pt_seeds:
             tail_alive = pt_seeds.alive[Wp:]
             pt_seeds = jax.tree.map(
                 lambda new, old: jnp.concatenate([new, old[Wp:]]),
                 pres.seeds, pt_seeds)
-            pad = pt_seeds.mu.shape[0] - Wp
+            cap = pt_seeds.mu.shape[0]
+            alive_full = jnp.concatenate([pres.seeds.alive, tail_alive])
+            # compact: converged rows live in [0, Wp); report row ids +
+            # depths instead of capacity-wide masks (~10x less wire)
+            (rows,) = jnp.nonzero(pres.converged, size=K, fill_value=cap)
             pt_conv = (
-                jnp.concatenate([pres.converged, jnp.zeros(pad, bool)]),
-                jnp.concatenate([pres.depth_converged, jnp.zeros(pad)]),
-                jnp.concatenate([pres.seeds.alive, tail_alive]),
+                rows.astype(jnp.int32),
+                pres.depth_converged[jnp.minimum(rows, Wp - 1)],
+                jnp.sum(pres.converged).astype(jnp.int32),
+                pack_bits16(alive_full),
                 jnp.sum(pres.skipped).astype(jnp.int32))
         if update_ln_seeds:
             tail_alive = ln_seeds.alive[Wl:]
             ln_seeds = jax.tree.map(
                 lambda new, old: jnp.concatenate([new, old[Wl:]]),
                 lres.seeds, ln_seeds)
-            pad = ln_seeds.mu_s.shape[0] - Wl
+            lcap = ln_seeds.mu_s.shape[0]
+            lalive_full = jnp.concatenate([lres.seeds.alive, tail_alive])
+            (lrows,) = jnp.nonzero(lres.converged, size=K, fill_value=lcap)
             ln_conv = (
-                jnp.concatenate([lres.converged, jnp.zeros(pad, bool)]),
-                jnp.concatenate([lres.depth_s, jnp.zeros(pad)]),
-                jnp.concatenate([lres.depth_e, jnp.zeros(pad)]),
-                jnp.concatenate([lres.seeds.alive, tail_alive]),
+                lrows.astype(jnp.int32),
+                lres.depth_s[jnp.minimum(lrows, Wl - 1)],
+                lres.depth_e[jnp.minimum(lrows, Wl - 1)],
+                jnp.sum(lres.converged).astype(jnp.int32),
+                pack_bits16(lalive_full),
                 jnp.sum(lres.skipped).astype(jnp.int32))
 
     nxt = None

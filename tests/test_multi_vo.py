@@ -114,7 +114,9 @@ def test_batched_vo_streams_mode(rng):
     cfg_p = dataclasses.replace(
         cfg, pipeline=dataclasses.replace(
             cfg.pipeline, pipelined=True, pipeline_depth=3))
-    bvo = BatchedVO(CAM, cfg_p, 2)  # no mesh -> streams
+    # r5: auto resolves to the vmapped mode (fastest measured AND the
+    # mesh path) — request streams explicitly to test it
+    bvo = BatchedVO(CAM, cfg_p, 2, mode="streams")
     assert bvo.mode == "streams"
     got = [[], []]
     for i in range(len(seqs[0])):
