@@ -279,7 +279,8 @@ class BatchedVO:
         ln_c = (None if ln_conv_b is None
                 else jax.tree.map(lambda a: a[k], ln_conv_b))
         got = tuple(g for g in (pt_c, ln_c) if g is not None)
-        vo._apply_harvest(got, pt_c is not None, ln_c is not None)
+        vo._apply_harvest(got, pt_c is not None, ln_c is not None,
+                          result_frame_id=frame.frame_id)
         # keyframe seed init must read/write THIS vo's rows of the
         # stacked tables (rare: only on keyframes)
         self._install_seed_hooks(vo, k)

@@ -175,6 +175,14 @@ class FrameHandlerMono:
         self._ln_converged_dev = None
         self._seed_alive = np.zeros(caps.max_seeds, bool)
         self._lnseed_alive = np.zeros(caps.max_seed_segs, bool)
+        # frame counter at each row's last INSTALL: an in-flight step
+        # dispatched BEFORE the install returns alive-masks that predate
+        # these rows — the stamps let _apply_harvest keep the mirror's
+        # truth for them instead of marking fresh seeds dead (the r4/r5
+        # "seed-accounting transient")
+        self._seed_install_frame = np.full(caps.max_seeds, -1, np.int64)
+        self._lnseed_install_frame = np.full(caps.max_seed_segs, -1,
+                                             np.int64)
         # convergence results arrive in full-table row space (the fused
         # step updates seeds at capacity); identity mapping by default
         self._pt_rows = np.arange(caps.max_seeds)
@@ -583,7 +591,8 @@ class FrameHandlerMono:
         # frame's core (asynchronous mapping-thread delivery semantics,
         # depth_filter.cpp:333-355)
         got = tuple(g for g in (pt_conv, ln_conv) if g is not None)
-        self._apply_harvest(got, pt_conv is not None, ln_conv is not None)
+        self._apply_harvest(got, pt_conv is not None, ln_conv is not None,
+                            result_frame_id=frame.frame_id)
         return self._post_fused(frame, res)
 
     # -- pipelined mode ------------------------------------------------
@@ -715,7 +724,8 @@ class FrameHandlerMono:
                 if self.stage == STAGE_RELOCALIZING:
                     break  # successors of a failed frame are poisoned
                 g = tuple(x for x in (pt_c, ln_c) if x is not None)
-                self._apply_harvest(g, pt_c is not None, ln_c is not None)
+                self._apply_harvest(g, pt_c is not None, ln_c is not None,
+                                    result_frame_id=frame.frame_id)
                 self._ready.append(self._post_fused(frame, res))
             if self.stage == STAGE_RELOCALIZING:
                 # drop every in-flight successor of the failed frame — but
@@ -1172,6 +1182,9 @@ class FrameHandlerMono:
             sh["type"][free] = typ[:k]
             sh["dir"][free] = gdir[:k]
             self._seed_alive[free] = True
+            # rows reach the device table now; only steps dispatched from
+            # here on (frame_id >= current counter) reflect them
+            self._seed_install_frame[free] = self.frame_id
             B = self._bucket(k, self.cfg.caps.max_seeds)
             rows = np.zeros(B, np.float32)
             rows[:k] = free
@@ -1209,6 +1222,7 @@ class FrameHandlerMono:
                 lh["ef"][lfree] = ef
                 lh["level"][lfree] = 0
                 self._lnseed_alive[lfree] = True
+                self._lnseed_install_frame[lfree] = self.frame_id
                 B = self._bucket(k, self.cfg.caps.max_seed_segs)
                 rows = np.zeros(B, np.float32)
                 rows[:k] = lfree
@@ -1310,7 +1324,8 @@ class FrameHandlerMono:
         self._apply_harvest(got, pt_pending is not None,
                             ln_pending is not None)
 
-    def _apply_harvest(self, got, has_pt: bool, has_ln: bool):
+    def _apply_harvest(self, got, has_pt: bool, has_ln: bool,
+                       result_frame_id: int = None):
         """Converged seeds become CANDIDATE landmarks
         (depth_filter.cpp:333-355 + MapPointCandidates, map.cpp:285-309).
         Convergence masks arrive in bucket space; _pt_rows/_ln_rows map back
@@ -1325,7 +1340,13 @@ class FrameHandlerMono:
             if len(g) == 5:  # COMPACT fused-step format (fused.py)
                 rows_c, depth_c, n_conv, alive_w, n_starved = g
                 cap = self.cfg.caps.max_seeds
-                self._seed_alive[:] = fused.unpack_bits16(alive_w, cap)
+                alive_new = fused.unpack_bits16(alive_w, cap)
+                if result_frame_id is not None:
+                    # rows installed AFTER this result's step dispatched:
+                    # the mask predates them — keep the mirror's truth
+                    stale = self._seed_install_frame > result_frame_id
+                    alive_new[stale] = self._seed_alive[stale]
+                self._seed_alive[:] = alive_new
                 pairs = [(int(r), float(d))
                          for r, d in zip(rows_c, depth_c) if r < cap]
                 pairs = pairs[: int(n_conv)]
@@ -1352,7 +1373,11 @@ class FrameHandlerMono:
             if len(g) == 6:  # COMPACT fused-step format
                 lrows_c, ds_c, de_c, n_conv, lalive_w, ln_starved = g
                 lcap = self.cfg.caps.max_seed_segs
-                self._lnseed_alive[:] = fused.unpack_bits16(lalive_w, lcap)
+                lalive_new = fused.unpack_bits16(lalive_w, lcap)
+                if result_frame_id is not None:
+                    lstale = self._lnseed_install_frame > result_frame_id
+                    lalive_new[lstale] = self._lnseed_alive[lstale]
+                self._lnseed_alive[:] = lalive_new
                 lpairs = [(int(r), float(s), float(e))
                           for r, s, e in zip(lrows_c, ds_c, de_c)
                           if r < lcap]
@@ -1472,6 +1497,8 @@ class FrameHandlerMono:
         self.batch_counter = 0
         self._seed_alive[:] = False
         self._lnseed_alive[:] = False
+        self._seed_install_frame[:] = -1
+        self._lnseed_install_frame[:] = -1
         self._any_line_seeds = False
         self._pipe_q = []
         self._fetch_q = []
