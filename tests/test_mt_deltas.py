@@ -195,3 +195,16 @@ def test_struct_apply_matches_host():
     m.ln_spos[np.asarray(R.st_ln_lm)] = np.asarray(R.st_ln_spos)
     m.ln_epos[np.asarray(R.st_ln_lm)] = np.asarray(R.st_ln_epos)
     _assert_carry_matches_mirror(m, carry)
+
+
+def test_pack_bits16_roundtrip():
+    """pack_bits16 words survive the f32 fetch path exactly (16 bits per
+    word stay integer-exact in f32) and unpack to the original mask."""
+    rng = np.random.default_rng(4)
+    for n in (1, 15, 16, 17, 512, 250):
+        mask = rng.random(n) > 0.5
+        words = fused.pack_bits16(jnp.asarray(mask))
+        # simulate the flatpack f32 round trip
+        back = fused.unpack_bits16(
+            np.asarray(words, np.float32).astype(np.float64), n)
+        np.testing.assert_array_equal(back, mask, err_msg=f"n={n}")
